@@ -1,0 +1,23 @@
+from recondet3d.core.config import (
+    ConfigDict,
+    apply_overrides,
+    create_object,
+    load_config,
+    load_py_config,
+    merge_dicts,
+    resolve_inheritance,
+)
+from recondet3d.core.registry import (
+    ASSIGNERS,
+    BACKBONES,
+    BBOX_CODERS,
+    DATASETS,
+    DETECTORS,
+    HOOKS,
+    LOSSES,
+    MATCH_COSTS,
+    MIDDLE_ENCODERS,
+    PIPELINES,
+    Registry,
+    VOXEL_ENCODERS,
+)

@@ -1,0 +1,194 @@
+"""Hard / dynamic voxelization as static-shape XLA programs.
+
+TPU-native equivalent of the reference's CUDA voxelization extension
+(reference: mmdetection3d/mmdet3d/ops/voxel/voxelize.py:10-76 +
+voxelization_cuda.cu), with the same contract as the deterministic kernel
+and the numpy ``VoxelGenerator``
+(mmdet3d/core/voxel/voxel_generator.py:6):
+
+- points (N, C) -> voxels (max_voxels, max_pts, C), coors (max_voxels, 3)
+  in **zyx** order, num_points (max_voxels,), num_voxels scalar.
+- Voxels are ordered by first point appearance; points within a voxel keep
+  input order; overflow points/voxels are dropped.
+
+Instead of atomics + a hash grid, this implementation uses one stable sort
+over linearized voxel ids followed by segment arithmetic and scatters —
+all static shapes, fully jittable, differentiable-free integer work that
+XLA pipelines well on TPU. Unused output slots carry ``coors == -1``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "compute_grid_size",
+    "voxelize",
+    "dynamic_voxelize",
+    "voxel_centers",
+    "Voxelization",
+]
+
+
+def compute_grid_size(point_cloud_range: Sequence[float], voxel_size: Sequence[float]) -> Tuple[int, int, int]:
+    """Grid size (X, Y, Z) = round((max-min)/voxel_size), like the reference."""
+    pcr = np.asarray(point_cloud_range, dtype=np.float64)
+    vs = np.asarray(voxel_size, dtype=np.float64)
+    gs = np.round((pcr[3:] - pcr[:3]) / vs).astype(np.int64)
+    return int(gs[0]), int(gs[1]), int(gs[2])
+
+
+def _point_coors(points_xyz: jnp.ndarray, pcr: Tuple[float, ...], vs: Tuple[float, ...],
+                 grid: Tuple[int, int, int]) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-point integer voxel coords (zyx) + validity mask."""
+    gx, gy, gz = grid
+    mins = jnp.asarray(pcr[:3], dtype=points_xyz.dtype)
+    sizes = jnp.asarray(vs, dtype=points_xyz.dtype)
+    c = jnp.floor((points_xyz - mins) / sizes).astype(jnp.int32)  # (N, 3) xyz
+    limits = jnp.asarray([gx, gy, gz], dtype=jnp.int32)
+    valid = jnp.all((c >= 0) & (c < limits), axis=-1)
+    valid &= jnp.all(jnp.isfinite(points_xyz), axis=-1)
+    coors_zyx = c[:, ::-1]
+    return coors_zyx, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("point_cloud_range", "voxel_size", "max_points", "max_voxels"),
+)
+def voxelize(
+    points: jnp.ndarray,
+    valid_mask: jnp.ndarray | None = None,
+    *,
+    point_cloud_range: Tuple[float, ...],
+    voxel_size: Tuple[float, ...],
+    max_points: int,
+    max_voxels: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hard voxelization of a single sample.
+
+    Args:
+        points: (N, C) with xyz in the first 3 channels. N is the static cap;
+            use ``valid_mask`` to mark real points (padding rows are ignored).
+    Returns:
+        voxels (max_voxels, max_points, C), coors (max_voxels, 3) int32 zyx
+        (-1 for empty slots), num_points (max_voxels,) int32,
+        num_voxels () int32.
+    """
+    N, C = points.shape
+    grid = compute_grid_size(point_cloud_range, voxel_size)
+    gx, gy, gz = grid
+    n_cells = gx * gy * gz
+    sentinel = jnp.int32(n_cells)
+
+    coors_zyx, valid = _point_coors(points[:, :3], tuple(point_cloud_range), tuple(voxel_size), grid)
+    if valid_mask is not None:
+        valid = valid & valid_mask.astype(bool)
+
+    z, y, x = coors_zyx[:, 0], coors_zyx[:, 1], coors_zyx[:, 2]
+    ids = jnp.where(valid, (z * gy + y) * gx + x, sentinel)
+
+    # Stable sort by voxel id; padding/invalid points sort last.
+    order = jnp.argsort(ids, stable=True)
+    sids = ids[order]
+    svalid = sids != sentinel
+
+    arange = jnp.arange(N, dtype=jnp.int32)
+    is_first = jnp.concatenate([jnp.array([True]), sids[1:] != sids[:-1]])
+    # Position of each point's segment start in the sorted array.
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_first, arange, 0))
+    rank_in_voxel = arange - seg_start
+
+    # Appearance order: a segment's key is the original index of its first
+    # point (stable sort => min original index). Rank unique voxels by it.
+    app_key = jnp.where(is_first & svalid, order.astype(jnp.int32), jnp.int32(N))
+    app_order = jnp.argsort(app_key)  # first V entries = segment-first sorted positions, appearance order
+    app_rank_at_pos = jnp.zeros(N, dtype=jnp.int32).at[app_order].set(arange)
+    voxel_slot = app_rank_at_pos[seg_start]  # per sorted point
+
+    keep = svalid & (rank_in_voxel < max_points) & (voxel_slot < max_voxels)
+    slot = jnp.where(keep, voxel_slot, max_voxels)  # out-of-range => dropped
+
+    voxels = jnp.zeros((max_voxels, max_points, C), dtype=points.dtype)
+    voxels = voxels.at[slot, jnp.where(keep, rank_in_voxel, 0)].set(
+        points[order], mode="drop"
+    )
+
+    num_points = jnp.zeros((max_voxels,), dtype=jnp.int32).at[slot].add(
+        keep.astype(jnp.int32), mode="drop"
+    )
+
+    coors = jnp.full((max_voxels, 3), -1, dtype=jnp.int32)
+    first_keep = keep & is_first
+    coors = coors.at[jnp.where(first_keep, slot, max_voxels)].set(
+        coors_zyx[order], mode="drop"
+    )
+
+    num_voxels = jnp.minimum(jnp.sum(is_first & svalid), max_voxels).astype(jnp.int32)
+    return voxels, coors, num_points, num_voxels
+
+
+@functools.partial(jax.jit, static_argnames=("point_cloud_range", "voxel_size"))
+def dynamic_voxelize(
+    points: jnp.ndarray,
+    *,
+    point_cloud_range: Tuple[float, ...],
+    voxel_size: Tuple[float, ...],
+) -> jnp.ndarray:
+    """Per-point voxel coords (N, 3) int32 zyx; -1 rows for out-of-range points.
+
+    Matches the CUDA dynamic voxelization contract
+    (reference: ops/voxel/scatter_points.py + voxelization.h).
+    """
+    grid = compute_grid_size(point_cloud_range, voxel_size)
+    coors_zyx, valid = _point_coors(points[:, :3], tuple(point_cloud_range), tuple(voxel_size), grid)
+    return jnp.where(valid[:, None], coors_zyx, -1)
+
+
+def voxel_centers(coors_zyx: jnp.ndarray, point_cloud_range, voxel_size) -> jnp.ndarray:
+    """Centers (M, 3) xyz of voxels given zyx integer coords."""
+    mins = jnp.asarray(point_cloud_range[:3], dtype=jnp.float32)
+    vs = jnp.asarray(voxel_size, dtype=jnp.float32)
+    xyz = coors_zyx[:, ::-1].astype(jnp.float32)
+    return mins + (xyz + 0.5) * vs
+
+
+class Voxelization:
+    """Config-friendly wrapper mirroring the reference ``Voxelization`` module
+    (ops/voxel/voxelize.py:76) with TPU static-shape outputs."""
+
+    def __init__(self, voxel_size, point_cloud_range, max_num_points, max_voxels=20000,
+                 deterministic: bool = True):
+        self.voxel_size = tuple(float(v) for v in voxel_size)
+        self.point_cloud_range = tuple(float(v) for v in point_cloud_range)
+        self.max_num_points = int(max_num_points)
+        if isinstance(max_voxels, (tuple, list)):
+            self.max_voxels_train, self.max_voxels_test = int(max_voxels[0]), int(max_voxels[1])
+        else:
+            self.max_voxels_train = self.max_voxels_test = int(max_voxels)
+        self.grid_size = compute_grid_size(self.point_cloud_range, self.voxel_size)
+        self.deterministic = deterministic  # TPU impl is always deterministic
+
+    def __call__(self, points, valid_mask=None, training: bool = True):
+        max_voxels = self.max_voxels_train if training else self.max_voxels_test
+        return voxelize(
+            points,
+            valid_mask,
+            point_cloud_range=self.point_cloud_range,
+            voxel_size=self.voxel_size,
+            max_points=self.max_num_points,
+            max_voxels=max_voxels,
+        )
+
+    def __repr__(self):
+        return (
+            f"Voxelization(voxel_size={self.voxel_size}, "
+            f"point_cloud_range={self.point_cloud_range}, "
+            f"max_num_points={self.max_num_points}, "
+            f"max_voxels=({self.max_voxels_train}, {self.max_voxels_test}))"
+        )

@@ -1,0 +1,63 @@
+"""Flash attention kernel tests (interpret mode on CPU; compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recondet3d.ops import attention_xla, flash_attention
+
+
+def _rand(shape, seed=0, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, dtype=dtype)
+
+
+@pytest.mark.parametrize("n,d", [(128, 64), (256, 64), (200, 32)])
+def test_flash_matches_xla(n, d):
+    q = _rand((2, 3, n, d), 0)
+    k = _rand((2, 3, n, d), 1)
+    v = _rand((2, 3, n, d), 2)
+    ref = attention_xla(q, k, v)
+    got = flash_attention(q, k, v, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_kv_len_masking():
+    n = 256
+    q = _rand((1, 2, n, 64), 3)
+    k = _rand((1, 2, n, 64), 4)
+    v = _rand((1, 2, n, 64), 5)
+    kv_len = jnp.array([150], jnp.int32)
+    ref = attention_xla(q[:, :, :150], k[:, :, :150], v[:, :, :150])
+    got = flash_attention(q, k, v, kv_len=kv_len, impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(got)[:, :, :150], np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_flash_non_multiple_lengths():
+    # 1297 tokens (504x504 / 14 patch + 1 cls) is the production local length
+    n = 130
+    q = _rand((1, 1, n, 64), 6)
+    k = _rand((1, 1, n, 64), 7)
+    v = _rand((1, 1, n, 64), 8)
+    ref = attention_xla(q, k, v)
+    got = flash_attention(q, k, v, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_grad_matches_xla():
+    q = _rand((1, 2, 128, 64), 9)
+    k = _rand((1, 2, 128, 64), 10)
+    v = _rand((1, 2, 128, 64), 11)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, impl="pallas") ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_xla(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)

@@ -1,0 +1,122 @@
+"""Golden tests for FPS / ball query / knn / grouping / dynamic scatter
+against independent numpy references implementing the CUDA contracts."""
+
+import numpy as np
+
+from recondet3d.ops import (
+    ball_query,
+    dynamic_scatter,
+    dynamic_voxelize,
+    furthest_point_sample,
+    gather_points,
+    group_points,
+    knn,
+    three_interpolate,
+    three_nn,
+)
+
+
+def numpy_fps(points, k):
+    n = len(points)
+    dist = np.full(n, 1e10)
+    idxs = [0]
+    for _ in range(k - 1):
+        d = np.sum((points - points[idxs[-1]]) ** 2, axis=1)
+        dist = np.minimum(dist, d)
+        idxs.append(int(np.argmax(dist)))
+    return np.array(idxs)
+
+
+def test_fps_matches_numpy():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(200, 3)).astype(np.float32)
+    got = np.asarray(furthest_point_sample(pts, 32))
+    exp = numpy_fps(pts, 32)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_fps_respects_valid_mask():
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    pts[50:] = 100.0  # far away padding — would dominate FPS if not masked
+    mask = np.arange(100) < 50
+    got = np.asarray(furthest_point_sample(pts, 20, mask))
+    assert np.all(got < 50)
+    exp = numpy_fps(pts[:50], 20)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_ball_query_contract():
+    pts = np.array(
+        [[0, 0, 0], [0.1, 0, 0], [0.2, 0, 0], [5, 5, 5], [0.05, 0, 0]], np.float32
+    )
+    centers = np.array([[0, 0, 0], [5, 5, 5], [9, 9, 9]], np.float32)
+    idx = np.asarray(ball_query(0.0, 0.3, 3, pts, centers))
+    # center 0: first 3 in-order neighbors among {0,1,2,4} -> 0,1,2
+    np.testing.assert_array_equal(idx[0], [0, 1, 2])
+    # center 1: only point 3; remaining slots filled with first found
+    np.testing.assert_array_equal(idx[1], [3, 3, 3])
+    # center 2: nothing in radius -> zeros
+    np.testing.assert_array_equal(idx[2], [0, 0, 0])
+
+
+def test_knn_matches_numpy():
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    q = rng.normal(size=(40, 3)).astype(np.float32)
+    got = np.asarray(knn(4, pts, q))
+    d2 = np.sum((q[:, None] - pts[None]) ** 2, axis=-1)
+    exp = np.argsort(d2, axis=1, kind="stable")[:, :4]
+    # compare by distances (tie order may differ)
+    np.testing.assert_allclose(
+        np.take_along_axis(d2, got, 1), np.take_along_axis(d2, exp, 1), rtol=1e-5
+    )
+
+
+def test_grouping_and_interpolate():
+    rng = np.random.default_rng(3)
+    feats = rng.normal(size=(16, 50)).astype(np.float32)  # (C, N)
+    idx = rng.integers(0, 50, size=(10,))
+    np.testing.assert_allclose(np.asarray(gather_points(feats, idx)), feats[:, idx])
+
+    gidx = rng.integers(0, 50, size=(10, 4))
+    np.testing.assert_allclose(np.asarray(group_points(feats, gidx)), feats[:, gidx])
+
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    q = rng.normal(size=(10, 3)).astype(np.float32)
+    dist, nn_idx = three_nn(q, pts)
+    d2 = np.sum((q[:, None] - pts[None]) ** 2, axis=-1)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dist), axis=1) ** 2,
+        np.sort(d2, axis=1)[:, :3],
+        rtol=1e-4, atol=1e-5,
+    )
+    w = 1.0 / (np.asarray(dist) + 1e-8)
+    w = (w / w.sum(1, keepdims=True)).astype(np.float32)
+    out = np.asarray(three_interpolate(feats, nn_idx, w))
+    exp = np.einsum("cmk,mk->cm", feats[:, np.asarray(nn_idx)], w)
+    np.testing.assert_allclose(out, exp, rtol=1e-5)
+
+
+def test_dynamic_scatter_mean_max():
+    pcr = (0.0, 0.0, 0.0, 10.0, 10.0, 10.0)
+    vs = (1.0, 1.0, 1.0)
+    pts = np.array(
+        [[0.5, 0.5, 0.5], [0.6, 0.5, 0.5], [3.5, 0.5, 0.5], [20, 0, 0]], np.float32
+    )
+    coors = dynamic_voxelize(pts, point_cloud_range=pcr, voxel_size=vs)
+    feats = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]], np.float32)
+    vf, vc, p2v, nv = dynamic_scatter(
+        feats, coors, grid=(10, 10, 10), max_voxels=8, reduce="mean"
+    )
+    assert int(nv) == 2
+    np.testing.assert_allclose(np.asarray(vf)[0], [2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(vf)[1], [5.0, 6.0])
+    np.testing.assert_array_equal(np.asarray(vc)[0], [0, 0, 0])
+    np.testing.assert_array_equal(np.asarray(p2v)[:3], [0, 0, 1])
+    assert int(np.asarray(p2v)[3]) == 8  # dropped
+
+    vf2, _, _, _ = dynamic_scatter(
+        feats, coors, grid=(10, 10, 10), max_voxels=8, reduce="max"
+    )
+    np.testing.assert_allclose(np.asarray(vf2)[0], [3.0, 4.0])
