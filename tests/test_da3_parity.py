@@ -1,0 +1,198 @@
+"""Numerical parity of the JAX DA3 stack against the reference torch
+implementation (imported read-only as an oracle, random weights converted
+through recondet3d.api.weights). Everything fp32 on CPU."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from reference_oracle import import_reference_da3
+from recondet3d.api.weights import convert_torch_state_dict
+from recondet3d.models.da3 import build_da3
+from recondet3d.models.da3.vit import DinoViT
+
+da3_ref = import_reference_da3()
+
+
+def _state_dict(mod):
+    return {k: v.detach().numpy() for k, v in mod.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def vit_pair():
+    from depth_anything_3.model.dinov2.dinov2 import DinoV2
+
+    torch.manual_seed(0)
+    tnet = DinoV2(name="vits", out_layers=[5, 7, 9, 11], alt_start=4,
+                  qknorm_start=4, rope_start=4, cat_token=True).eval()
+    jnet = DinoViT(name_preset="vits", out_layers=(5, 7, 9, 11), alt_start=4,
+                   qknorm_start=4, rope_start=4, cat_token=True,
+                   dtype=jnp.float32, attn_impl="xla")
+    x = jnp.zeros((1, 2, 28, 28, 3))
+    params = jnet.init(jax.random.PRNGKey(0), x)
+    # bare ViT: no prefix mapping needed, keys convert in place
+    params, unused, unfilled = convert_torch_state_dict(_state_dict(tnet), params)
+    assert not unfilled, f"unfilled flax params: {unfilled[:10]}"
+    assert not unused, f"unused torch keys: {unused[:10]}"
+    return tnet, jnet, params
+
+
+@pytest.mark.parametrize("S,hw", [(2, (28, 28)), (2, (56, 42))])
+def test_vit_parity(vit_pair, S, hw):
+    tnet, jnet, params = vit_pair
+    H, W = hw
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, S, 3, H, W)).astype(np.float32)
+
+    with torch.no_grad():
+        tfeats, _ = tnet(torch.from_numpy(x))
+
+    x_j = jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2)))
+    jfeats, _ = jnet.apply(params, x_j)
+
+    assert len(tfeats) == len(jfeats)
+    for i, ((t_tok, t_cam), (j_tok, j_cam)) in enumerate(zip(tfeats, jfeats)):
+        np.testing.assert_allclose(
+            np.asarray(j_tok), t_tok.numpy(), atol=2e-4, rtol=2e-3,
+            err_msg=f"layer {i} patch tokens",
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_cam), t_cam.numpy(), atol=2e-4, rtol=2e-3,
+            err_msg=f"layer {i} camera token",
+        )
+
+
+def test_vit_parity_multiview_reorder(vit_pair):
+    # S=6 triggers reference-view selection + reorder/restore
+    tnet, jnet, params = vit_pair
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 6, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        tfeats, _ = tnet(torch.from_numpy(x))
+    jfeats, _ = jnet.apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))))
+    for i, ((t_tok, _), (j_tok, _)) in enumerate(zip(tfeats, jfeats)):
+        np.testing.assert_allclose(
+            np.asarray(j_tok), t_tok.numpy(), atol=5e-4, rtol=5e-3,
+            err_msg=f"layer {i}",
+        )
+
+
+@pytest.fixture(scope="module")
+def net_pair():
+    """Full DepthAnything3Net (vits + DualDPT + cam heads)."""
+    from depth_anything_3.model.da3 import DepthAnything3Net as TorchNet
+    from depth_anything_3.model.dinov2.dinov2 import DinoV2
+    from depth_anything_3.model.dualdpt import DualDPT as TorchDualDPT
+    from depth_anything_3.model.cam_enc import CameraEnc as TorchCamEnc
+    from depth_anything_3.model.cam_dec import CameraDec as TorchCamDec
+
+    torch.manual_seed(1)
+    tnet = TorchNet(
+        net=DinoV2(name="vits", out_layers=[5, 7, 9, 11], alt_start=4,
+                   qknorm_start=4, rope_start=4, cat_token=True),
+        head=TorchDualDPT(dim_in=768, output_dim=2, features=64,
+                          out_channels=[48, 96, 192, 384]),
+        cam_enc=TorchCamEnc(dim_out=384),
+        cam_dec=TorchCamDec(dim_in=768),
+    ).eval()
+    jnet = build_da3("da3-small", dtype=jnp.float32, attn_impl="xla")
+    x = jnp.zeros((1, 2, 28, 28, 3))
+    # init with extrinsics so the cam_enc conditioning path materializes
+    ext0 = jnp.broadcast_to(jnp.eye(4)[None, None], (1, 2, 4, 4))
+    ixt0 = jnp.broadcast_to(jnp.eye(3)[None, None] * 20.0, (1, 2, 3, 3))
+    params = jnet.init(jax.random.PRNGKey(0), x, ext0, ixt0)
+    params, unused, unfilled = convert_torch_state_dict(_state_dict(tnet), params)
+    assert not unfilled, f"unfilled: {unfilled[:10]}"
+    # aux levels 0..2 of DualDPT are dead at inference; everything else maps
+    assert all("_aux.0." in k or "_aux.1." in k or "_aux.2." in k for k in unused), unused[:10]
+    return tnet, jnet, params
+
+
+def test_full_net_parity(net_pair):
+    tnet, jnet, params = net_pair
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 2, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        tout = tnet(torch.from_numpy(x))
+    jout = jnet.apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))))
+
+    np.testing.assert_allclose(
+        np.asarray(jout["depth"]), tout["depth"].numpy(), atol=1e-3, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["depth_conf"]), tout["depth_conf"].numpy(), atol=1e-3, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["extrinsics"]), tout["extrinsics"].numpy(), atol=1e-3, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["intrinsics"]), tout["intrinsics"].numpy(), atol=1e-2, rtol=1e-2
+    )
+
+
+def test_full_net_parity_with_gt_poses(net_pair):
+    """cam_enc conditioning path: GT extrinsics/intrinsics provided."""
+    tnet, jnet, params = net_pair
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 2, 3, 28, 28)).astype(np.float32)
+    # simple valid w2c extrinsics + pinhole intrinsics
+    ext = np.broadcast_to(np.eye(4, dtype=np.float32)[None, None], (1, 2, 4, 4)).copy()
+    ext[0, 1, 0, 3] = 0.5
+    ixt = np.zeros((1, 2, 3, 3), np.float32)
+    ixt[..., 0, 0] = ixt[..., 1, 1] = 30.0
+    ixt[..., 0, 2] = ixt[..., 1, 2] = 14.0
+    ixt[..., 2, 2] = 1.0
+    with torch.no_grad():
+        tout = tnet(torch.from_numpy(x), torch.from_numpy(ext), torch.from_numpy(ixt))
+    jout = jnet.apply(
+        params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))),
+        jnp.asarray(ext), jnp.asarray(ixt),
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["depth"]), tout["depth"].numpy(), atol=1e-3, rtol=1e-2
+    )
+
+
+def test_metric_net_parity():
+    """da3metric-large shaped net at vits-ish scale is too big to build here;
+    test the plain-ViT + DPT(+sky) path instead with small dims."""
+    from depth_anything_3.model.da3 import DepthAnything3Net as TorchNet
+    from depth_anything_3.model.dinov2.dinov2 import DinoV2
+    from depth_anything_3.model.dpt import DPT as TorchDPT
+
+    torch.manual_seed(3)
+    tnet = TorchNet(
+        net=DinoV2(name="vits", out_layers=[2, 5, 8, 11], alt_start=-1,
+                   qknorm_start=-1, rope_start=-1, cat_token=False),
+        head=TorchDPT(dim_in=384, output_dim=1, features=64,
+                      out_channels=[48, 96, 192, 384]),
+    ).eval()
+
+    from recondet3d.models.da3.dpt import DPT
+    from recondet3d.models.da3.net import DepthAnything3Net
+
+    jnet = DepthAnything3Net(
+        net=DinoViT(name_preset="vits", out_layers=(2, 5, 8, 11), alt_start=-1,
+                    qknorm_start=-1, rope_start=-1, cat_token=False,
+                    dtype=jnp.float32, attn_impl="xla"),
+        head=DPT(dim_in=384, output_dim=1, features=64, out_channels=(48, 96, 192, 384)),
+    )
+    x0 = jnp.zeros((1, 1, 28, 28, 3))
+    params = jnet.init(jax.random.PRNGKey(0), x0)
+    params, unused, unfilled = convert_torch_state_dict(_state_dict(tnet), params)
+    assert not unfilled and not unused, (unused[:5], unfilled[:5])
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 1, 3, 42, 56)).astype(np.float32)
+    with torch.no_grad():
+        tout = tnet(torch.from_numpy(x))
+    jout = jnet.apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))))
+    np.testing.assert_allclose(
+        np.asarray(jout["depth"]), tout["depth"].numpy(), atol=1e-3, rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["sky"]), tout["sky"].numpy(), atol=1e-3, rtol=1e-2
+    )
