@@ -1,0 +1,138 @@
+"""Pseudo-LiDAR point post-processing pipeline (jittable, static shapes).
+
+Re-implementation of the reference respoint pipeline
+(reference: projects/mmdet3d_plugin/datasets/pipelines/
+respoint_post_processing.py — FilterPointByRange:171, BallQueryDownsample
+:102 (FPS anchors + ball-query union), FPSDownsample:209, VoxelDownsample
+:19, PointPadding:253, DepthAnything3Filter:290).
+
+TPU design: every stage is (points (N, 3), valid (N,)) -> same, with
+selection expressed as masks and compaction as one stable sort — no
+dynamic shapes anywhere. The reference's "skip if already small enough"
+branches become branchless ``where`` selects.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from recondet3d.core.registry import PIPELINES
+from recondet3d.ops.ball_query import ball_query
+from recondet3d.ops.sampling import furthest_point_sample
+from recondet3d.ops.scatter import dynamic_scatter
+from recondet3d.ops.voxelize import compute_grid_size, dynamic_voxelize
+
+__all__ = [
+    "filter_point_by_range",
+    "ball_query_downsample",
+    "fps_downsample",
+    "voxel_downsample",
+    "compact_points",
+    "PointPipeline",
+]
+
+
+def filter_point_by_range(points, valid, point_cloud_range):
+    """Mask points outside [xmin..zmax] (reference: FilterPointByRange:171)."""
+    x0, y0, z0, x1, y1, z1 = point_cloud_range
+    m = (
+        (points[:, 0] >= x0) & (points[:, 0] <= x1)
+        & (points[:, 1] >= y0) & (points[:, 1] <= y1)
+        & (points[:, 2] >= z0) & (points[:, 2] <= z1)
+    )
+    return points, valid & m
+
+
+def compact_points(points, valid, out_size: int):
+    """Stable-compact valid rows to the front, truncated/padded to out_size."""
+    order = jnp.argsort(~valid, stable=True)
+    pts = points[order][:out_size]
+    v = valid[order][:out_size]
+    return pts, v
+
+
+def ball_query_downsample(
+    points,
+    valid,
+    *,
+    anchor_points: int,
+    min_radius: float = 0.0,
+    max_radius: float = 0.5,
+    sample_num: int = 16,
+):
+    """Density-aware downsample: FPS anchors + union of ball-query neighbors,
+    expressed as a mask over the input (reference: BallQueryDownsample:102).
+    When n_valid <= anchor_points the input passes through unchanged."""
+    N = points.shape[0]
+    anchor_idx = furthest_point_sample(points, anchor_points, valid)
+    anchors = points[anchor_idx]
+    nbr = ball_query(
+        min_radius, max_radius, sample_num, points, anchors, points_valid=valid
+    )  # (A, S)
+    sel = jnp.zeros((N,), bool)
+    sel = sel.at[nbr.reshape(-1)].set(True)
+    sel = sel.at[anchor_idx].set(True)
+    sel = sel & valid
+    passthrough = jnp.sum(valid) <= anchor_points
+    return points, jnp.where(passthrough, valid, sel)
+
+
+def fps_downsample(points, valid, *, num_points: int):
+    """FPS cap to num_points (reference: FPSDownsample:209). Returns
+    (num_points, 3) + mask; passthrough-compaction when already small."""
+    idx = furthest_point_sample(points, num_points, valid)
+    fps_pts = points[idx]
+    comp_pts, comp_valid = compact_points(points, valid, num_points)
+    big = jnp.sum(valid) > num_points
+    out = jnp.where(big, fps_pts, comp_pts)
+    out_valid = jnp.where(big, jnp.ones((num_points,), bool), comp_valid)
+    return out, out_valid
+
+
+def voxel_downsample(
+    points,
+    valid,
+    *,
+    voxel_size,
+    point_cloud_range,
+    max_voxels: int,
+):
+    """Replace points by voxel centroids (reference: VoxelDownsample:19 —
+    which computes per-voxel means in a python loop; here one scatter)."""
+    coors = dynamic_voxelize(
+        points, point_cloud_range=tuple(point_cloud_range), voxel_size=tuple(voxel_size)
+    )
+    coors = jnp.where(valid[:, None], coors, -1)
+    grid = compute_grid_size(point_cloud_range, voxel_size)
+    centroids, vcoors, _, _ = dynamic_scatter(
+        points, coors, grid=grid, max_voxels=max_voxels, reduce="mean"
+    )
+    return centroids, vcoors[:, 0] >= 0
+
+
+class PointPipeline:
+    """Config-driven composition (the DepthAnything3Filter equivalent)."""
+
+    def __init__(self, transforms: Sequence[Dict[str, Any]]):
+        self.transforms = list(transforms)
+
+    def __call__(self, points, valid):
+        for t in self.transforms:
+            cfg = dict(t)
+            kind = cfg.pop("type")
+            cfg.pop("enabled", None)
+            if kind == "FilterPointByRange":
+                points, valid = filter_point_by_range(points, valid, cfg["point_cloud_range"])
+            elif kind == "BallQueryDownsample":
+                points, valid = ball_query_downsample(points, valid, **cfg)
+            elif kind == "FPSDownsample":
+                points, valid = fps_downsample(points, valid, **cfg)
+            elif kind == "VoxelDownsample":
+                points, valid = voxel_downsample(points, valid, **cfg)
+            else:
+                raise KeyError(f"unknown point transform {kind!r}")
+        return points, valid

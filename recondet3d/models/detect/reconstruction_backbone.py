@@ -1,0 +1,121 @@
+"""Reconstruction backbone: DA3 multi-view depth -> pseudo-LiDAR points ->
+post pipeline -> sparse refinement.
+
+Re-implementation of the reference ReconstructionBackbone
+(reference: projects/mmdet3d_plugin/models/backbone/
+reconstruction_backbone.py:31-924): InputProcessor(504) -> frozen DA3
+forward -> per-camera pinhole back-projection with predicted intrinsics
+(:285-345) -> cam->LiDAR via the row-vector cam2lidar_rts convention
+(pts @ M[:3,:3].T + M[3,:3], :371-373) -> range filter / ball-query /
+FPS pipeline -> SparseRefinement.
+
+TPU design: everything after image load is ONE jitted program with static
+shapes — the per-camera python loops of the reference become batched
+einsums, the per-sample pipeline becomes a vmap, and padding-to-batch-max
+(:388-442) becomes fixed (num_points,) buffers with masks. DA3 is frozen
+via stop_gradient (the reference freezes params + inference_mode,
+:100-103, 563-572).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from recondet3d.data.input_processor import process_tensor_batch
+from recondet3d.data.pipelines.point_pipeline import (
+    ball_query_downsample,
+    filter_point_by_range,
+    fps_downsample,
+)
+from recondet3d.models.refine.refinement import SparseRefinement
+from recondet3d.utils.geometry import depth_to_points_cam
+
+__all__ = ["ReconstructionBackbone"]
+
+
+class ReconstructionBackbone(nn.Module):
+    da3: nn.Module  # DepthAnything3Net / NestedDepthAnything3Net
+    refinement: Optional[SparseRefinement] = None
+    process_res: int = 504
+    ref_view_strategy: str = "saddle_balanced"
+    use_ray_pose: bool = False
+    max_depth: float = 100.0
+    freeze_da3: bool = True
+    # point pipeline (reference config: ResDet3D_nuscenes_mini_config.py:134-161)
+    filter_range: Sequence[float] = (-54.0, -54.0, -5.0, 54.0, 54.0, 6.0)
+    bq_anchor_points: int = 25000
+    bq_max_radius: float = 0.5
+    bq_sample_num: int = 16
+    num_points: int = 40000
+    gt_num_points: int = 40000
+
+    def predict_points(self, img, cam2lidar_rts):
+        """img (B, N, H, W, 3) raw RGB; cam2lidar_rts (B, N, 4, 4) row-vector
+        convention. Returns (points (B, num_points, 3), valid, da3_out)."""
+        B, N, H, W, _ = img.shape
+        x, _ = process_tensor_batch(img, process_res=self.process_res)
+
+        da3_out = self.da3(
+            x,
+            use_ray_pose=self.use_ray_pose,
+            ref_view_strategy=self.ref_view_strategy,
+        )
+        if self.freeze_da3:
+            da3_out = {
+                k: jax.lax.stop_gradient(v) if isinstance(v, jnp.ndarray) else v
+                for k, v in da3_out.items()
+            }
+
+        depth = da3_out["depth"].astype(jnp.float32)  # (B, N, h, w)
+        intr = da3_out["intrinsics"].astype(jnp.float32)  # (B, N, 3, 3)
+
+        pts_cam = depth_to_points_cam(depth, intr)  # (B, N, h, w, 3)
+        valid = (depth > 0) & jnp.isfinite(depth) & (depth <= self.max_depth)
+
+        R = cam2lidar_rts[..., :3, :3].astype(jnp.float32)
+        t = cam2lidar_rts[..., 3, :3].astype(jnp.float32)
+        pts_lidar = jnp.einsum("bnhwc,bndc->bnhwd", pts_cam, R) + t[:, :, None, None]
+
+        P = N * depth.shape[2] * depth.shape[3]
+        pts = pts_lidar.reshape(B, P, 3)
+        msk = valid.reshape(B, P)
+
+        def pipeline(p, m):
+            p, m = filter_point_by_range(p, m, tuple(self.filter_range))
+            p, m = ball_query_downsample(
+                p, m,
+                anchor_points=self.bq_anchor_points,
+                max_radius=self.bq_max_radius,
+                sample_num=self.bq_sample_num,
+            )
+            return fps_downsample(p, m, num_points=self.num_points)
+
+        pts, msk = jax.vmap(pipeline)(pts, msk)
+        return pts, msk, da3_out
+
+    def __call__(
+        self,
+        img: jnp.ndarray,
+        cam2lidar_rts: jnp.ndarray,
+        gt_points: Optional[jnp.ndarray] = None,
+        gt_valid: Optional[jnp.ndarray] = None,
+        return_loss: bool = False,
+        train: bool = False,
+    ):
+        """Returns (pseudo_points, valid, losses, aux)."""
+        pts, msk, da3_out = self.predict_points(img, cam2lidar_rts)
+        losses: Dict[str, jnp.ndarray] = {}
+        aux: Dict[str, Any] = {"da3": da3_out}
+        if self.refinement is not None:
+            refined, r_losses, r_aux = self.refinement(
+                pts, msk, gt_points=gt_points, gt_valid=gt_valid,
+                return_loss=return_loss, train=train,
+            )
+            losses.update(r_losses)
+            aux.update(r_aux)
+            pts = refined
+        return pts, msk, losses, aux

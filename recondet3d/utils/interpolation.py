@@ -66,6 +66,14 @@ def _interp_matrix_np(
         i1c = np.clip(i0 + 1, 0, in_size - 1)
         np.add.at(M, (np.arange(out_size), i0c), 1 - w)
         np.add.at(M, (np.arange(out_size), i1c), w)
+    elif mode == "area":
+        # torch 'area' = adaptive average pooling with integer cell
+        # boundaries: [floor(o*in/out), ceil((o+1)*in/out)), equal weights
+        for o_i in range(out_size):
+            i0 = int(np.floor(o_i * in_size / out_size))
+            i1 = int(np.ceil((o_i + 1) * in_size / out_size))
+            i1 = min(i1, in_size)
+            M[o_i, i0:i1] = 1.0 / (i1 - i0)
     elif mode == "bicubic":
         i0 = np.floor(src).astype(np.int64)
         t = src - i0

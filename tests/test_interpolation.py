@@ -46,6 +46,19 @@ def test_bicubic_with_explicit_scale_factor():
     _cmp(x, None, "bicubic", False, scale=(sx, sx))
 
 
+@pytest.mark.parametrize("shape,out", [((1, 3, 283, 504), (280, 504)), ((2, 2, 36, 36), (12, 18))])
+def test_area_matches_torch(shape, out):
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=shape).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), size=out, mode="area")
+    got = np.asarray(
+        resize_2d(np.transpose(x, (0, 2, 3, 1)), out, mode="area")
+    )
+    np.testing.assert_allclose(
+        np.transpose(got, (0, 3, 1, 2)), ref.numpy(), atol=2e-5, rtol=2e-5
+    )
+
+
 def test_nearest():
     x = np.arange(2 * 1 * 4 * 4, dtype=np.float32).reshape(2, 1, 4, 4)
     _cmp(x, (8, 8), "nearest", False)

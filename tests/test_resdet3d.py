@@ -1,0 +1,127 @@
+"""End-to-end ResDet3D test: synthetic 2-camera rig -> DA3-small depth ->
+unprojection -> pipeline -> refinement loss; plus point pipeline units
+and loss units."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recondet3d.data.pipelines.point_pipeline import (
+    ball_query_downsample,
+    filter_point_by_range,
+    fps_downsample,
+    voxel_downsample,
+)
+from recondet3d.models.da3 import build_da3
+from recondet3d.models.detect import ReconstructionBackbone, ResDet3D
+from recondet3d.models.losses import ColorLoss, EMDLoss, SimpleL2Loss, SmoothnessLoss
+from recondet3d.models.refine import SparseRefinement
+
+
+def test_filter_point_by_range():
+    pts = np.array([[0, 0, 0], [100, 0, 0], [1, 1, 1]], np.float32)
+    valid = np.array([True, True, False])
+    _, m = filter_point_by_range(jnp.asarray(pts), jnp.asarray(valid), (-5, -5, -5, 5, 5, 5))
+    np.testing.assert_array_equal(np.asarray(m), [True, False, False])
+
+
+def test_fps_downsample_passthrough_and_cap():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    valid = np.ones(100, bool)
+    out, m = fps_downsample(jnp.asarray(pts), jnp.asarray(valid), num_points=32)
+    assert out.shape == (32, 3) and bool(m.all())
+
+    valid2 = np.arange(100) < 20  # fewer than cap -> passthrough compacted
+    out2, m2 = fps_downsample(jnp.asarray(pts), jnp.asarray(valid2), num_points=32)
+    assert int(np.asarray(m2).sum()) == 20
+    np.testing.assert_allclose(np.asarray(out2)[:20], pts[:20])
+
+
+def test_ball_query_downsample_density():
+    rng = np.random.default_rng(1)
+    # dense cluster + sparse far points
+    cluster = rng.normal(scale=0.1, size=(200, 3)).astype(np.float32)
+    sparse = rng.normal(scale=20.0, size=(50, 3)).astype(np.float32)
+    pts = np.concatenate([cluster, sparse])
+    valid = np.ones(250, bool)
+    _, m = ball_query_downsample(
+        jnp.asarray(pts), jnp.asarray(valid), anchor_points=32,
+        max_radius=0.5, sample_num=8,
+    )
+    kept = int(np.asarray(m).sum())
+    assert 32 <= kept < 250  # anchors kept, plus in-radius neighbors
+
+
+def test_voxel_downsample_centroids():
+    pts = np.array([[0.1, 0.1, 0.1], [0.3, 0.1, 0.1], [5.1, 5.1, 0.1]], np.float32)
+    valid = np.ones(3, bool)
+    out, m = voxel_downsample(
+        jnp.asarray(pts), jnp.asarray(valid), voxel_size=(1.0, 1.0, 1.0),
+        point_cloud_range=(0, 0, 0, 10, 10, 10), max_voxels=8,
+    )
+    assert int(np.asarray(m).sum()) == 2
+    np.testing.assert_allclose(np.asarray(out)[0], [0.2, 0.1, 0.1], atol=1e-6)
+
+
+def test_point_losses():
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.normal(size=(2, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 80, 3)).astype(np.float32))
+    assert float(EMDLoss(chunk_size=32)(a, b)) > 0
+    assert float(SmoothnessLoss()(a, a)) == 0
+    assert float(SimpleL2Loss()(a, a)) == 0
+    assert float(ColorLoss(chunk_size=32)(a, b)) > 0
+    # identical clouds -> tiny EMD
+    assert float(EMDLoss(chunk_size=32)(a, a)) < 0.05
+
+
+@pytest.mark.slow
+def test_resdet3d_end_to_end():
+    """Tiny full pipeline: 2 cams at 56x84 -> ~96 pts/cam grid."""
+    da3 = build_da3("da3-small", dtype=jnp.float32, attn_impl="xla")
+    refinement = SparseRefinement(
+        point_cloud_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 2.0),
+        voxel_size=(0.1, 0.1, 0.1),
+        max_voxels=2048,
+        occ_feature_shape=(20, 20, 8),
+        occ_max_voxels=512,
+        sparse_shape=(40, 160, 160),
+        unet_channels=(32, 48, 64, 96),
+        stage_caps=(2048, 1024, 512, 256),
+        encoder_out_channels=16,
+    )
+    backbone = ReconstructionBackbone(
+        da3=da3,
+        refinement=refinement,
+        process_res=56,
+        filter_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 2.0),
+        bq_anchor_points=256,
+        num_points=512,
+        max_depth=20.0,
+    )
+    model = ResDet3D(reconstruction_backbone=backbone)
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (1, 2, 56, 84, 3)).astype(np.float32)
+    c2l = np.broadcast_to(np.eye(4, dtype=np.float32), (1, 2, 4, 4)).copy()
+    gt = rng.uniform(-7, 7, (1, 300, 3)).astype(np.float32)
+    gt[..., 2] = rng.uniform(-1.8, 1.8, (1, 300))
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(c2l),
+        gt_points=jnp.asarray(gt), return_loss=True,
+    )
+    losses, outs = model.apply(
+        variables, jnp.asarray(img), jnp.asarray(c2l),
+        gt_points=jnp.asarray(gt), return_loss=True,
+    )
+    assert "reconstruction_loss_occupancy" in losses
+    assert np.isfinite(float(losses["reconstruction_loss_occupancy"]))
+    assert outs["pseudo_points"].shape == (1, 512, 3)
+
+    # test path returns pseudo points
+    test_out = model.apply(variables, jnp.asarray(img), jnp.asarray(c2l))
+    assert test_out["pseudo_points"].shape == (1, 512, 3)

@@ -1,0 +1,150 @@
+"""Sparse conv golden tests: compare against dense 3D convolution on the
+densified grid (the defining property of SECOND-style spconv —
+submanifold conv equals dense conv masked to the input active set;
+strided sparse conv equals dense conv at the derived active outputs)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from recondet3d.ops.sparse_conv import (
+    SparseTensor,
+    build_neighbor_map,
+    sparse_conv_downsample,
+    sparse_tensor_from_voxels,
+    subm_conv_apply,
+    to_dense_bev,
+)
+
+
+def _random_sparse(rng, B, grid, n_active, C, cap):
+    Z, Y, X = grid
+    coords = set()
+    while len(coords) < n_active:
+        coords.add(
+            (rng.integers(B), rng.integers(Z), rng.integers(Y), rng.integers(X))
+        )
+    coords = np.array(sorted(coords), np.int32)
+    rng.shuffle(coords)
+    feats = rng.normal(size=(len(coords), C)).astype(np.float32)
+    # pad to capacity
+    pad = cap - len(coords)
+    coords_p = np.concatenate([coords, np.full((pad, 4), -1, np.int32)])
+    feats_p = np.concatenate([feats, np.zeros((pad, C), np.float32)])
+    return SparseTensor(jnp.asarray(feats_p), jnp.asarray(coords_p), grid, B), coords, feats
+
+
+def _dense(st_coords, st_feats, B, grid, C):
+    Z, Y, X = grid
+    d = np.zeros((B, Z, Y, X, C), np.float32)
+    for (b, z, y, x), f in zip(st_coords, st_feats):
+        d[b, z, y, x] = f
+    return d
+
+
+def _dense_conv3d(dense, weight, stride, padding):
+    """numpy correlation: out(o) = sum_k in(o*s + k - pad) W[k]."""
+    B, Z, Y, X, Cin = dense.shape
+    K3, _, Cout = weight.shape
+    k = round(K3 ** (1 / 3))
+    ks = (k, k, k) if k ** 3 == K3 else None
+    assert ks is not None
+    sz, sy, sx = stride
+    pz, py, px = padding
+    oZ = (Z + 2 * pz - ks[0]) // sz + 1
+    oY = (Y + 2 * py - ks[1]) // sy + 1
+    oX = (X + 2 * px - ks[2]) // sx + 1
+    padded = np.pad(dense, ((0, 0), (pz, pz), (py, py), (px, px), (0, 0)))
+    out = np.zeros((B, oZ, oY, oX, Cout), np.float32)
+    w = weight.reshape(ks[0], ks[1], ks[2], Cin, Cout)
+    for dz in range(ks[0]):
+        for dy in range(ks[1]):
+            for dx in range(ks[2]):
+                sub = padded[:, dz : dz + oZ * sz : sz, dy : dy + oY * sy : sy,
+                             dx : dx + oX * sx : sx]
+                out += sub @ w[dz, dy, dx]
+    return out
+
+
+def test_subm_conv_matches_dense():
+    rng = np.random.default_rng(0)
+    grid = (6, 10, 10)
+    st, coords, feats = _random_sparse(rng, 2, grid, 80, 8, 128)
+    W = rng.normal(size=(27, 8, 16)).astype(np.float32) * 0.1
+    b = rng.normal(size=(16,)).astype(np.float32)
+
+    nbr = build_neighbor_map(st, 3)
+    out = np.asarray(subm_conv_apply(st.features, nbr, jnp.asarray(W), jnp.asarray(b)))
+
+    dense = _dense(coords, feats, 2, grid, 8)
+    dense_out = _dense_conv3d(dense, W, (1, 1, 1), (1, 1, 1)) + b
+    for i, (bb, z, y, x) in enumerate(coords):
+        np.testing.assert_allclose(out[i], dense_out[bb, z, y, x], rtol=2e-4, atol=2e-5)
+
+
+def test_strided_conv_matches_dense():
+    rng = np.random.default_rng(1)
+    grid = (7, 12, 12)
+    st, coords, feats = _random_sparse(rng, 2, grid, 60, 4, 96)
+    W = rng.normal(size=(27, 4, 8)).astype(np.float32) * 0.1
+
+    out_st = sparse_conv_downsample(
+        st, jnp.asarray(W), None, kernel=3, stride=2, padding=1, max_out=256
+    )
+    dense = _dense(coords, feats, 2, grid, 4)
+    dense_out = _dense_conv3d(dense, W, (2, 2, 2), (1, 1, 1))
+
+    oc = np.asarray(out_st.coords)
+    of = np.asarray(out_st.features)
+    valid = oc[:, 0] >= 0
+    assert valid.sum() > 0
+    # every derived active output matches the dense conv there
+    for i in np.where(valid)[0]:
+        b, z, y, x = oc[i]
+        np.testing.assert_allclose(of[i], dense_out[b, z, y, x], rtol=2e-4, atol=2e-5)
+    # and every nonzero dense output whose window touched an input is present
+    active_set = {tuple(c) for c in oc[valid]}
+    nz = np.argwhere(np.abs(dense_out).sum(-1) > 1e-3)
+    for b, z, y, x in nz:
+        assert (b, z, y, x) in active_set
+
+
+def test_asymmetric_kernel_stride():
+    # the SparseEncoder conv_out: kernel (3,1,1), stride (2,1,1), padding 0
+    rng = np.random.default_rng(2)
+    grid = (6, 8, 8)
+    st, coords, feats = _random_sparse(rng, 1, grid, 40, 4, 64)
+    W = rng.normal(size=(3, 4, 8)).astype(np.float32) * 0.1
+    out_st = sparse_conv_downsample(
+        st, jnp.asarray(W), None, kernel=(3, 1, 1), stride=(2, 1, 1),
+        padding=(0, 0, 0), max_out=128,
+    )
+    assert out_st.grid == (2, 8, 8)
+
+    dense = _dense(coords, feats, 1, grid, 4)
+    # numpy ref with asymmetric kernel
+    padded = dense
+    out = np.zeros((1, 2, 8, 8, 8), np.float32)
+    for dz in range(3):
+        sub = padded[:, dz : dz + 2 * 2 : 2]
+        out += sub @ W[dz]
+    oc = np.asarray(out_st.coords)
+    of = np.asarray(out_st.features)
+    for i in np.where(oc[:, 0] >= 0)[0]:
+        b, z, y, x = oc[i]
+        np.testing.assert_allclose(of[i], out[b, z, y, x], rtol=2e-4, atol=2e-5)
+
+
+def test_to_dense_bev_layout():
+    coords = np.array([[0, 1, 2, 3], [1, 0, 1, 1], [-1, -1, -1, -1]], np.int32)
+    feats = np.array([[1.0, 2.0], [3.0, 4.0], [9.0, 9.0]], np.float32)
+    st = sparse_tensor_from_voxels(jnp.asarray(feats), jnp.asarray(coords), (2, 4, 4), 2)
+    bev = np.asarray(to_dense_bev(st))
+    assert bev.shape == (2, 4, 4, 4)  # (B, Y, X, C*Z) with C=2, Z=2
+    # channel index = c*Z + z (torch view(N, C*D, H, W) ordering)
+    assert bev[0, 2, 3, 0 * 2 + 1] == 1.0
+    assert bev[0, 2, 3, 1 * 2 + 1] == 2.0
+    assert bev[1, 1, 1, 0] == 3.0
+    assert bev[1, 1, 1, 2] == 4.0
+    assert np.abs(bev).sum() == 10.0  # padding row dropped
