@@ -1,0 +1,82 @@
+"""Training loop tests: cyclic schedules vs the mmcv contract, a few real
+optimization steps on the tiny ResDet3D (loss decreases), data-parallel
+sharding over the 8-device CPU mesh, checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from recondet3d.models.da3 import build_da3
+from recondet3d.models.detect import ReconstructionBackbone, ResDet3D
+from recondet3d.models.refine import SparseRefinement
+from recondet3d.parallel import make_mesh
+from recondet3d.train import Trainer, cyclic_schedule
+
+
+def test_cyclic_schedule_shape():
+    s = cyclic_schedule(1e-3, 100, target_ratio=(10, 1e-4), step_ratio_up=0.4)
+    v0 = float(s(0))
+    v_up = float(s(40))
+    v_end = float(s(99))
+    assert abs(v0 - 1e-3) < 1e-9
+    assert abs(v_up - 1e-2) < 1e-4  # peak = base * 10
+    assert v_end < 1e-5  # anneals toward base * 1e-4
+    # monotone up then down
+    vals = [float(s(i)) for i in range(100)]
+    assert np.argmax(vals) in range(38, 43)
+
+
+def _tiny_model():
+    da3 = build_da3("da3-small", dtype=jnp.float32, attn_impl="xla")
+    refinement = SparseRefinement(
+        point_cloud_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 2.0),
+        voxel_size=(0.1, 0.1, 0.1), max_voxels=1024,
+        occ_feature_shape=(20, 20, 8), occ_max_voxels=512,
+        sparse_shape=(40, 160, 160), unet_channels=(32, 48, 64, 96),
+        stage_caps=(1024, 512, 384, 256), encoder_out_channels=16,
+    )
+    backbone = ReconstructionBackbone(
+        da3=da3, refinement=refinement, process_res=56,
+        filter_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 2.0),
+        bq_anchor_points=128, num_points=256, max_depth=20.0,
+    )
+    return ResDet3D(reconstruction_backbone=backbone)
+
+
+def _batch(rng, B=2):
+    img = rng.uniform(0, 255, (B, 2, 56, 84, 3)).astype(np.float32)
+    c2l = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 2, 4, 4)).copy()
+    gt = rng.uniform(-7, 7, (B, 300, 3)).astype(np.float32)
+    gt[..., 2] = rng.uniform(-1.8, 1.8, (B, 300))
+    return dict(img=img, cam2lidar_rts=c2l, gt_points=gt)
+
+
+@pytest.mark.slow
+def test_train_steps_decrease_loss(tmp_path):
+    model = _tiny_model()
+    mesh = make_mesh()  # 8 virtual CPU devices -> data-parallel over 8
+    trainer = Trainer(
+        model=model, total_steps=8, lr=2e-3, mesh=mesh,
+        work_dir=str(tmp_path), checkpoint_interval=None,
+    )
+    rng = np.random.default_rng(0)
+    batch = _batch(rng, B=8)  # divisible by 8 devices
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state, history = trainer.run(state, iter([batch] * 8))
+    losses = [h["loss"] for h in history]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # fitting a fixed batch must reduce loss
+    assert int(state.step) == 8
+
+    # checkpoint round-trip
+    from recondet3d.train import latest_checkpoint, load_checkpoint, save_checkpoint
+
+    save_checkpoint(str(tmp_path), state)
+    path = latest_checkpoint(str(tmp_path))
+    restored = load_checkpoint(path, target=jax.device_get(state))
+    assert int(restored.step) == 8
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    r0 = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(r0))
