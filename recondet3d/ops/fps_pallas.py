@@ -1,17 +1,16 @@
-"""Furthest point sampling as a single Pallas TPU kernel.
+"""Furthest point sampling as a Pallas TPU kernel.
 
-The XLA while-loop formulation of FPS pays per-iteration kernel-launch
+The XLA while-loop formulation of FPS pays per-iteration kernel-dispatch
 overhead x K (25k-40k iterations in the ResDet3D pipeline — reference:
-respoint_post_processing.py FPSDownsample/BallQueryDownsample). This
-kernel keeps the point cloud and the running min-distance array resident
-in VMEM and runs all K argmax/update iterations inside one kernel; each
-iteration streams the N points in static row blocks so live temporaries
-stay ~0.5 MB (v5e scoped VMEM is ~14 MB and the resident buffers already
-use ~13 MB at N=850k).
+respoint_post_processing.py FPSDownsample/BallQueryDownsample). Here one
+``pallas_call`` with ``grid=(K,)`` runs the whole selection: the running
+min-distance array lives in a VMEM output that persists across grid
+steps, the previously selected index is carried in SMEM scratch, and each
+grid step is two fused VPU passes over the resident points.
 
-Selection semantics match recondet3d.ops.sampling.furthest_point_sample
-exactly (first valid point first, then iterative argmax; invalid points
-never selected).
+VMEM budget: N*16 bytes (xyz planes + min-dist, fp32) — N up to ~850k on
+a v5e. Selection semantics match
+recondet3d.ops.sampling.furthest_point_sample exactly.
 """
 
 from __future__ import annotations
@@ -26,77 +25,55 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["furthest_point_sample_pallas"]
 
 _LANES = 128
-_BLOCK_ROWS = 1024
 
 
-def _fps_kernel(pts_ref, dist_in_ref, idx_ref, dist_ref, *, num_samples, rows, n_blocks):
-    """pts_ref: (3, rows, 128) xyz planes; dist_in/dist_ref: (rows, 128)
-    min-dist (same buffer via input_output_aliases; -inf marks invalid);
-    idx_ref: (1, Kpad) int32 out."""
+def _fps_kernel(pts_ref, dist_in_ref, idx_ref, dist_ref, last_ref, *, rows):
+    """Grid step i selects point i. pts_ref (3, rows, 128); dist refs
+    (rows, 128) aliased; idx_ref (1, Kpad); last_ref SMEM (1,) carry."""
     del dist_in_ref  # aliased with dist_ref
+    i = pl.program_id(0)
     big = jnp.int32(rows * _LANES)
-
-    def block_iota(b):
-        r = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 1)
-        return (b * _BLOCK_ROWS + r) * _LANES + c
-
-    # first selected point = first valid index
-    def first_body(b, acc):
-        sl = pl.ds(b * _BLOCK_ROWS, _BLOCK_ROWS)
-        v = dist_ref[sl, :] > -jnp.inf
-        return jnp.minimum(acc, jnp.min(jnp.where(v, block_iota(b), big)))
-
-    first = jax.lax.fori_loop(0, n_blocks, first_body, big)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+    flat = r_iota * _LANES + c_iota
     kidx = jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, 1)
-    idx_ref[:] = jnp.where(kidx == 0, first, 0)
 
-    def body(i, last):
-        # pass 1: extract the selected xyz with masked reductions
-        def extract(b, acc):
-            sl = pl.ds(b * _BLOCK_ROWS, _BLOCK_ROWS)
-            sel = (block_iota(b) == last).astype(jnp.float32)
-            return (
-                acc[0] + jnp.sum(pts_ref[0, sl, :] * sel),
-                acc[1] + jnp.sum(pts_ref[1, sl, :] * sel),
-                acc[2] + jnp.sum(pts_ref[2, sl, :] * sel),
-            )
+    @pl.when(i == 0)
+    def _():
+        valid = dist_ref[:] > -jnp.inf
+        first = jnp.min(jnp.where(valid, flat, big))
+        idx_ref[:] = jnp.where(kidx == 0, first, 0)
+        last_ref[0] = first
 
-        px, py, pz = jax.lax.fori_loop(0, n_blocks, extract, (0.0, 0.0, 0.0))
-
-        # pass 2: update min-distances blockwise, tracking the global argmax
-        def update(b, acc):
-            best, best_idx = acc
-            sl = pl.ds(b * _BLOCK_ROWS, _BLOCK_ROWS)
-            dx = pts_ref[0, sl, :] - px
-            dy = pts_ref[1, sl, :] - py
-            dz = pts_ref[2, sl, :] - pz
-            nd = jnp.minimum(dist_ref[sl, :], dx * dx + dy * dy + dz * dz)
-            dist_ref[sl, :] = nd
-            m = jnp.max(nd)
-            bidx = jnp.min(jnp.where(nd == m, block_iota(b), big))
-            take = m > best
-            return jnp.where(take, m, best), jnp.where(take, bidx, best_idx)
-
-        _, nxt = jax.lax.fori_loop(0, n_blocks, update, (-jnp.inf, big))
+    @pl.when(i > 0)
+    def _():
+        last = last_ref[0]
+        sel = (flat == last).astype(jnp.float32)
+        px = jnp.sum(pts_ref[0] * sel)
+        py = jnp.sum(pts_ref[1] * sel)
+        pz = jnp.sum(pts_ref[2] * sel)
+        dx = pts_ref[0] - px
+        dy = pts_ref[1] - py
+        dz = pts_ref[2] - pz
+        nd = jnp.minimum(dist_ref[:], dx * dx + dy * dy + dz * dz)
+        dist_ref[:] = nd
+        m = jnp.max(nd)
+        nxt = jnp.min(jnp.where(nd == m, flat, big))
         idx_ref[:] = jnp.where(kidx == i, nxt, idx_ref[:])
-        return nxt
-
-    jax.lax.fori_loop(1, num_samples, body, first)
+        last_ref[0] = nxt
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples",))
+@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
 def furthest_point_sample_pallas(
     points: jnp.ndarray,
     num_samples: int,
     valid_mask: jnp.ndarray | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """(N, 3) [+ (N,) mask] -> (num_samples,) int32 indices."""
     N = points.shape[0]
-    per_block = _BLOCK_ROWS * _LANES
-    pad = (-N) % per_block
+    pad = (-N) % _LANES
     rows = (N + pad) // _LANES
-    n_blocks = rows // _BLOCK_ROWS
 
     pts = jnp.pad(points.astype(jnp.float32), ((0, pad), (0, 0)))
     planes = pts.T.reshape(3, rows, _LANES)
@@ -110,29 +87,28 @@ def furthest_point_sample_pallas(
     dist0 = dist0.reshape(rows, _LANES)
 
     kpad = (-num_samples) % _LANES
-    vmem_bytes = (4 * rows * _LANES * 4) + (num_samples + kpad) * 4 + (2 << 20)
+    vmem_bytes = (4 * rows * _LANES * 4) + (num_samples + kpad) * 4 + (4 << 20)
 
     idx, _ = pl.pallas_call(
-        functools.partial(
-            _fps_kernel, num_samples=num_samples, rows=rows, n_blocks=n_blocks
-        ),
+        functools.partial(_fps_kernel, rows=rows),
+        grid=(num_samples,),
         out_shape=(
             jax.ShapeDtypeStruct((1, num_samples + kpad), jnp.int32),
             jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rows, _LANES), lambda i: (0, 0, 0)),
+            pl.BlockSpec((rows, _LANES), lambda i: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_samples + kpad), lambda i: (0, 0)),
+            pl.BlockSpec((rows, _LANES), lambda i: (0, 0)),
         ),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(vmem_bytes, 120 * 1024 * 1024)),
         ),
-        # alias the initial-distance input onto the distance output so only
-        # one (rows, 128) fp32 buffer lives in VMEM
         input_output_aliases={1: 1},
+        interpret=interpret,
     )(planes, dist0)
     return idx[0, :num_samples]

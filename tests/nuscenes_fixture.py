@@ -1,0 +1,149 @@
+"""Synthetic mini nuScenes fixture: writes the JSON tables + lidar bins +
+jpeg images that the converter/dataset consume (structure per the public
+nuScenes schema)."""
+
+import json
+import os
+
+import numpy as np
+
+
+def _quat_about_z(theta):
+    return [float(np.cos(theta / 2)), 0.0, 0.0, float(np.sin(theta / 2))]
+
+
+def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
+                 n_cams: int = 2, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    version = "v1.0-mini"
+    tdir = os.path.join(root, version)
+    os.makedirs(tdir, exist_ok=True)
+    os.makedirs(os.path.join(root, "samples", "LIDAR_TOP"), exist_ok=True)
+
+    cams = [f"CAM_{i}" for i in range(n_cams)]
+    cams[0] = "CAM_FRONT"
+    if n_cams > 1:
+        cams[1] = "CAM_BACK"
+    for c in cams:
+        os.makedirs(os.path.join(root, "samples", c), exist_ok=True)
+
+    tables = {k: [] for k in [
+        "category", "attribute", "visibility", "instance", "sensor",
+        "calibrated_sensor", "ego_pose", "log", "scene", "sample",
+        "sample_data", "sample_annotation", "map",
+    ]}
+
+    tables["category"].append(dict(token="cat-car", name="vehicle.car", description=""))
+    tables["category"].append(dict(token="cat-ped", name="human.pedestrian.adult", description=""))
+    tables["log"].append(dict(token="log-0", logfile="", vehicle="v", date_captured="", location="x"))
+
+    tables["sensor"].append(dict(token="sens-lidar", channel="LIDAR_TOP", modality="lidar"))
+    for c in cams:
+        tables["sensor"].append(dict(token=f"sens-{c}", channel=c, modality="camera"))
+
+    # calibrated sensors (fixed rig)
+    tables["calibrated_sensor"].append(dict(
+        token="cs-lidar", sensor_token="sens-lidar",
+        translation=[0.9, 0.0, 1.8], rotation=_quat_about_z(0.0),
+        camera_intrinsic=[],
+    ))
+    for i, c in enumerate(cams):
+        K = [[400.0, 0.0, 80.0], [0.0, 400.0, 45.0], [0.0, 0.0, 1.0]]
+        tables["calibrated_sensor"].append(dict(
+            token=f"cs-{c}", sensor_token=f"sens-{c}",
+            translation=[1.5 + 0.1 * i, 0.2 * i, 1.5],
+            rotation=_quat_about_z(np.pi * i / n_cams),
+            camera_intrinsic=K,
+        ))
+
+    ts = 1_000_000_000
+    sample_count = 0
+    for si in range(n_scenes):
+        scene_token = f"scene-tok-{si}"
+        first = last = None
+        prev_sample = ""
+        for sj in range(samples_per_scene):
+            tok = f"samp-{si}-{sj}"
+            if first is None:
+                first = tok
+            last = tok
+            ts += 500000
+            ego_t = [float(si * 100 + sj * 5), float(sj), 0.0]
+            sample = dict(token=tok, timestamp=ts, scene_token=scene_token,
+                          prev=prev_sample, next="", data={}, anns=[])
+            if prev_sample:
+                for s in tables["sample"]:
+                    if s["token"] == prev_sample:
+                        s["next"] = tok
+            prev_sample = tok
+
+            # ego poses + sample data
+            pose_tok = f"pose-{tok}-lidar"
+            tables["ego_pose"].append(dict(token=pose_tok, timestamp=ts,
+                                           translation=ego_t, rotation=_quat_about_z(0.1 * sj)))
+            lidar_file = f"samples/LIDAR_TOP/{tok}.pcd.bin"
+            pts = rng.uniform(-30, 30, (256, 5)).astype(np.float32)
+            pts.tofile(os.path.join(root, lidar_file))
+            sd_tok = f"sd-{tok}-lidar"
+            tables["sample_data"].append(dict(
+                token=sd_tok, sample_token=tok, ego_pose_token=pose_tok,
+                calibrated_sensor_token="cs-lidar", timestamp=ts,
+                fileformat="pcd.bin", is_key_frame=True, filename=lidar_file,
+                prev="", next="", width=0, height=0,
+            ))
+            sample["data"]["LIDAR_TOP"] = sd_tok
+
+            for c in cams:
+                img_file = f"samples/{c}/{tok}.jpg"
+                _write_jpeg(os.path.join(root, img_file),
+                            rng.integers(0, 255, (90, 160, 3), np.uint8))
+                pose_tok_c = f"pose-{tok}-{c}"
+                tables["ego_pose"].append(dict(token=pose_tok_c, timestamp=ts + 1,
+                                               translation=ego_t, rotation=_quat_about_z(0.1 * sj)))
+                sdc = f"sd-{tok}-{c}"
+                tables["sample_data"].append(dict(
+                    token=sdc, sample_token=tok, ego_pose_token=pose_tok_c,
+                    calibrated_sensor_token=f"cs-{c}", timestamp=ts + 1,
+                    fileformat="jpg", is_key_frame=True, filename=img_file,
+                    prev="", next="", width=160, height=90,
+                ))
+                sample["data"][c] = sdc
+
+            # one car + one pedestrian annotation
+            for ai, (cat, size) in enumerate([("vehicle.car", [2.0, 4.5, 1.6]),
+                                              ("human.pedestrian.adult", [0.6, 0.6, 1.8])]):
+                ann_tok = f"ann-{tok}-{ai}"
+                inst_tok = f"inst-{si}-{ai}"
+                if not any(i["token"] == inst_tok for i in tables["instance"]):
+                    tables["instance"].append(dict(
+                        token=inst_tok, category_token=f"cat-{'car' if ai==0 else 'ped'}",
+                        nbr_annotations=samples_per_scene,
+                        first_annotation_token="", last_annotation_token="",
+                    ))
+                tables["sample_annotation"].append(dict(
+                    token=ann_tok, sample_token=tok, instance_token=inst_tok,
+                    attribute_tokens=[], visibility_token="1",
+                    translation=[ego_t[0] + 10 + ai * 5, ego_t[1] + 2, 1.0],
+                    size=size, rotation=_quat_about_z(0.3 * ai),
+                    num_lidar_pts=10, num_radar_pts=0,
+                    prev="", next="",
+                ))
+                sample["anns"].append(ann_tok)
+            tables["sample"].append(sample)
+            sample_count += 1
+        tables["scene"].append(dict(
+            token=scene_token, name=f"scene-{si:04d}", description="",
+            log_token="log-0", nbr_samples=samples_per_scene,
+            first_sample_token=first, last_sample_token=last,
+        ))
+
+    for name, rows in tables.items():
+        with open(os.path.join(tdir, f"{name}.json"), "w") as f:
+            json.dump(rows, f)
+    return root
+
+
+def _write_jpeg(path, rgb):
+    import cv2
+
+    cv2.imwrite(path, rgb[..., ::-1])

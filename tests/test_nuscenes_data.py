@@ -1,0 +1,114 @@
+"""nuScenes converter + dataset tests over the synthetic fixture, plus a
+transform-consistency check (cam2lidar really is the inverse chain of
+lidar2img)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nuscenes_fixture import make_fixture
+from recondet3d.data.nuscenes import (
+    CBGSDataset,
+    NuScenesDataset,
+    NuScenesTables,
+    create_nuscenes_infos,
+)
+
+
+@pytest.fixture(scope="module")
+def nusc_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("nusc"))
+    make_fixture(root)
+    create_nuscenes_infos(root, info_prefix="nuscenes_mini",
+                          val_scene_names=["scene-0001"])
+    return root
+
+
+def test_converter_outputs(nusc_root):
+    import pickle
+
+    with open(os.path.join(nusc_root, "nuscenes_mini_infos_train.pkl"), "rb") as f:
+        train = pickle.load(f)
+    with open(os.path.join(nusc_root, "nuscenes_mini_infos_val.pkl"), "rb") as f:
+        val = pickle.load(f)
+    assert len(train["infos"]) == 2 and len(val["infos"]) == 2
+    info = train["infos"][0]
+    assert set(info["cams"]) == {"CAM_FRONT", "CAM_BACK"}
+    cam = info["cams"]["CAM_FRONT"]
+    assert cam["sensor2lidar_rotation"].shape == (3, 3)
+    assert np.allclose(
+        cam["sensor2lidar_rotation"] @ cam["sensor2lidar_rotation"].T, np.eye(3),
+        atol=1e-6,
+    )
+    assert info["gt_boxes"].shape[1] == 7
+    assert "car" in list(info["gt_names"])
+
+
+def test_sensor2lidar_consistency(nusc_root):
+    """cam->lidar from the converter must equal the direct chain
+    lidar <- ego <- global <- ego' <- cam computed independently."""
+    from recondet3d.data.nuscenes.tables import quat_wxyz_to_matrix
+
+    nusc = NuScenesTables("v1.0-mini", nusc_root)
+    sample = nusc.sample[0]
+    lidar_sd = nusc.get("sample_data", sample["data"]["LIDAR_TOP"])
+    cam_sd = nusc.get("sample_data", sample["data"]["CAM_FRONT"])
+
+    def sensor_to_global(sd):
+        cs = nusc.get("calibrated_sensor", sd["calibrated_sensor_token"])
+        pose = nusc.get("ego_pose", sd["ego_pose_token"])
+        T = np.eye(4)
+        T[:3, :3] = quat_wxyz_to_matrix(pose["rotation"]) @ quat_wxyz_to_matrix(cs["rotation"])
+        T[:3, 3] = (
+            quat_wxyz_to_matrix(pose["rotation"]) @ np.asarray(cs["translation"])
+            + np.asarray(pose["translation"])
+        )
+        return T
+
+    cam2global = sensor_to_global(cam_sd)
+    lidar2global = sensor_to_global(lidar_sd)
+    cam2lidar = np.linalg.inv(lidar2global) @ cam2global
+
+    import pickle
+
+    with open(os.path.join(nusc_root, "nuscenes_mini_infos_train.pkl"), "rb") as f:
+        info = pickle.load(f)["infos"][0]
+    cam = info["cams"]["CAM_FRONT"]
+    np.testing.assert_allclose(cam["sensor2lidar_rotation"], cam2lidar[:3, :3], atol=1e-8)
+    np.testing.assert_allclose(cam["sensor2lidar_translation"], cam2lidar[:3, 3], atol=1e-8)
+
+
+def test_dataset_get_data_info(nusc_root):
+    ds = NuScenesDataset(
+        ann_file=os.path.join(nusc_root, "nuscenes_mini_infos_train.pkl"),
+    )
+    assert len(ds) == 2
+    d = ds.get_data_info(0)
+    assert len(d["img_filename"]) == 2
+    assert os.path.exists(d["img_filename"][0])
+    assert os.path.exists(d["pts_filename"])
+    M = d["cam2lidar_rts"][0]
+    l2i = d["lidar2img"][0]
+    # projecting a cam-frame point to lidar then back through lidar2img
+    # must land on the pinhole projection of the original cam point
+    p_cam = np.array([0.5, -0.2, 4.0])
+    p_lidar = p_cam @ M[:3, :3].T + M[3, :3]
+    uvw = (l2i @ np.array([*p_lidar, 1.0]))[:3]
+    uv = uvw[:2] / uvw[2]
+    K = np.array([[400.0, 0, 80.0], [0, 400.0, 45.0], [0, 0, 1]])
+    exp = (K @ p_cam)[:2] / p_cam[2]
+    np.testing.assert_allclose(uv, exp, atol=1e-6)
+
+    ann = d["ann_info"]
+    assert ann["gt_bboxes_3d"].shape[1] == 9  # with velocity
+    assert set(ann["gt_labels_3d"]) <= {0, 8}  # car, pedestrian
+
+
+def test_cbgs_wrapper(nusc_root):
+    ds = NuScenesDataset(
+        ann_file=os.path.join(nusc_root, "nuscenes_mini_infos_train.pkl"),
+    )
+    cbgs = CBGSDataset(ds)
+    assert len(cbgs) > 0
+    _ = cbgs.get_ann_info(0)
