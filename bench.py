@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""End-to-end benchmark: camera-frames/sec/chip for the full ResDet3D
+pipeline (DA3 multi-view depth -> unprojection -> ball-query/FPS ->
+sparse-conv occupancy refinement) on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline follows BASELINE.json's north star (">=5x CPU-reference
+throughput on v5e"): the same jitted program measured once on the CPU
+backend (cached in bench_baseline.json) defines cpu_fps, and
+vs_baseline = tpu_fps / (5 * cpu_fps)  — i.e. 1.0 == target met.
+
+Env knobs: RECONDET3D_BENCH_PRESET (default da3-large),
+RECONDET3D_BENCH_ITERS (default 5), RECONDET3D_BENCH_CPU=1 to (re)measure
+the CPU baseline.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+PRESET = os.environ.get("RECONDET3D_BENCH_PRESET", "da3-large")
+ITERS = int(os.environ.get("RECONDET3D_BENCH_ITERS", "5"))
+BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
+
+N_CAMS = 6
+IMG_H, IMG_W = 900, 1600  # nuScenes camera resolution
+
+
+def build_pipeline(dtype):
+    import jax.numpy as jnp
+
+    from recondet3d.models.da3 import build_da3
+    from recondet3d.models.detect import ReconstructionBackbone, ResDet3D
+    from recondet3d.models.refine import SparseRefinement
+
+    da3 = build_da3(PRESET, dtype=dtype)
+    refinement = SparseRefinement(
+        max_voxels=40960,
+        occ_max_voxels=65536,
+        stage_caps=(40960, 32768, 24576, 16384),
+    )
+    backbone = ReconstructionBackbone(da3=da3, refinement=refinement)
+    return ResDet3D(reconstruction_backbone=backbone)
+
+
+def make_inputs(rng):
+    img = rng.uniform(0, 255, (1, N_CAMS, IMG_H, IMG_W, 3)).astype(np.float32)
+    c2l = np.tile(np.eye(4, dtype=np.float32), (1, N_CAMS, 1, 1))
+    for i in range(N_CAMS):
+        th = 2 * np.pi * i / N_CAMS
+        c2l[0, i, :3, :3] = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+        )
+        c2l[0, i, 3, :3] = [0.5 * np.cos(th), 0.5 * np.sin(th), 1.5]
+    return img, c2l
+
+
+def measure(backend: str, iters: int) -> float:
+    import jax
+
+    if backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    model = build_pipeline(dtype)
+    rng = np.random.default_rng(0)
+    img, c2l = make_inputs(rng)
+    img_j, c2l_j = jnp.asarray(img), jnp.asarray(c2l)
+
+    t0 = time.time()
+    variables = jax.jit(lambda r: model.init(r, img_j, c2l_j))(jax.random.PRNGKey(0))
+    jax.block_until_ready(variables)
+    print(f"[bench] init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # return occupancy logits too so the refinement trunk is not DCE'd
+    def _run(v, i, c):
+        out = model.apply(v, i, c)
+        return out["pseudo_points"], out["aux"]["occupancy_logits"]
+
+    fwd = jax.jit(_run)
+
+    def sync(o):
+        # axon's block_until_ready does not reliably block; a device_get does
+        np.asarray(o[0])
+        np.asarray(o[1])
+
+    t0 = time.time()
+    out = fwd(variables, img_j, c2l_j)
+    sync(out)
+    print(f"[bench] compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(variables, img_j, c2l_j)
+        sync(out)
+    dt = (time.time() - t0) / iters
+    return N_CAMS / dt  # camera frames per second
+
+
+def main():
+    cpu_fps = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            rec = json.load(f)
+        if rec.get("preset") == PRESET:
+            cpu_fps = rec.get("cpu_fps")
+    if os.environ.get("RECONDET3D_BENCH_CPU") == "1":
+        # measure in a subprocess: jax_platforms cannot be flipped back to
+        # tpu within one process
+        import subprocess
+
+        env = dict(os.environ, RECONDET3D_BENCH_CPU="inner")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        )
+        cpu_fps = float(out.stdout.strip().splitlines()[-1])
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(dict(preset=PRESET, cpu_fps=cpu_fps,
+                           shape=[N_CAMS, IMG_H, IMG_W]), f)
+        print(f"[bench] cpu baseline {cpu_fps:.4f} frames/s", file=sys.stderr)
+    elif os.environ.get("RECONDET3D_BENCH_CPU") == "inner":
+        print(measure("cpu", iters=1))
+        return
+
+    fps = measure("tpu", iters=ITERS)
+    vs = (fps / (5.0 * cpu_fps)) if cpu_fps else None
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"camera-frames/sec/chip, e2e ResDet3D ({PRESET} depth + "
+                    f"unprojection + ball-query/FPS + sparse-conv occupancy), "
+                    f"{N_CAMS}x{IMG_H}x{IMG_W} input"
+                ),
+                "value": round(fps, 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": None if vs is None else round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

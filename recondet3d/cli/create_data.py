@@ -1,0 +1,37 @@
+"""Dataset preparation dispatcher (reference: tools/create_data.py:12-298 —
+kitti/nuscenes/lyft/waymo/... -> info pkls). nuScenes is fully
+implemented; other datasets raise with a pointer (the ResDet3D pipeline
+only exercises nuScenes)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="create dataset info files")
+    p.add_argument("dataset", choices=["nuscenes", "kitti", "lyft", "waymo",
+                                       "scannet", "s3dis", "sunrgbd"])
+    p.add_argument("--root-path", required=True)
+    p.add_argument("--version", default="v1.0-mini")
+    p.add_argument("--extra-tag", default="nuscenes")
+    p.add_argument("--max-sweeps", type=int, default=10)
+    args = p.parse_args(argv)
+
+    if args.dataset == "nuscenes":
+        from recondet3d.data.nuscenes import create_nuscenes_infos
+
+        train, val = create_nuscenes_infos(
+            args.root_path, info_prefix=args.extra_tag,
+            version=args.version, max_sweeps=args.max_sweeps,
+        )
+        print(f"wrote {train}\nwrote {val}")
+        return 0
+    raise NotImplementedError(
+        f"{args.dataset} conversion is not implemented yet; the ResDet3D "
+        "pipeline runs on nuScenes (see recondet3d/data/nuscenes)"
+    )
+
+
+if __name__ == "__main__":
+    main()

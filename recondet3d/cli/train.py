@@ -1,0 +1,149 @@
+"""ResDet3D training entry point.
+
+Re-implementation of the reference trainer CLI
+(reference: tools/train_mmdet3d.py:137-317 — config load, work_dir,
+seeds, resume, autoscale-lr, then mmcv Runner). Here: config -> model
+build -> Trainer (pjit data-parallel) over the nuScenes dataset.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train ResDet3D")
+    p.add_argument("config", help="python config file (mmcv-style dict config)")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--autoscale-lr", action="store_true")
+    p.add_argument("--cfg-options", nargs="*", default=[])
+    return p.parse_args(argv)
+
+
+def build_model_from_cfg(cfg):
+    import jax.numpy as jnp
+
+    from recondet3d.models.da3 import build_da3
+    from recondet3d.models.detect import ReconstructionBackbone, ResDet3D
+    from recondet3d.models.refine import SparseRefinement
+
+    m = cfg["model"]
+    rb = m["reconstruction_backbone"]
+    da3 = build_da3(rb.get("pretrained", "da3-large"), dtype=jnp.bfloat16)
+    ref_cfg = rb.get("refinement", {}) or {}
+    refinement = SparseRefinement(
+        point_cloud_range=tuple(ref_cfg.get("point_cloud_range",
+                                            (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0))),
+        voxel_size=tuple(ref_cfg.get("voxel_size", (0.075, 0.075, 0.2))),
+        max_voxels=int(ref_cfg.get("max_voxels", 40960)),
+        occ_feature_shape=tuple(ref_cfg.get("occ_feature_shape", (180, 180, 32))),
+        loss_type=ref_cfg.get("loss_type", "bce"),
+        occupancy_loss_weight=float(ref_cfg.get("occupancy_loss_weight", 10.0)),
+        stage_caps=tuple(ref_cfg.get("stage_caps", (40960, 32768, 24576, 16384))),
+    )
+    backbone = ReconstructionBackbone(
+        da3=da3,
+        refinement=refinement,
+        num_points=int(rb.get("num_points", 40000)),
+        bq_anchor_points=int(rb.get("bq_anchor_points", 25000)),
+        max_depth=float(rb.get("max_depth", 100.0)),
+    )
+    return ResDet3D(reconstruction_backbone=backbone)
+
+
+def data_iterator(dataset, num_points_gt: int, img_hw, n_cams: int, epochs: int):
+    """Host-side loader: images + cam2lidar + padded GT points."""
+    import cv2
+
+    H, W = img_hw
+    for _ in range(epochs):
+        for i in range(len(dataset)):
+            d = dataset.get_data_info(i)
+            imgs = []
+            for p in d["img_filename"][:n_cams]:
+                im = cv2.imread(p)[..., ::-1]
+                if im.shape[:2] != (H, W):
+                    im = cv2.resize(im, (W, H))
+                imgs.append(im)
+            img = np.stack(imgs)[None].astype(np.float32)
+            c2l = np.stack(d["cam2lidar_rts"][:n_cams])[None].astype(np.float32)
+            pts = np.fromfile(d["pts_filename"], np.float32).reshape(-1, 5)[:, :3]
+            gt = np.zeros((1, num_points_gt, 3), np.float32)
+            n = min(len(pts), num_points_gt)
+            gt[0, :n] = pts[:n]
+            yield dict(img=img, cam2lidar_rts=c2l, gt_points=gt)
+
+
+def main(argv=None):
+    import jax
+
+    from recondet3d.core.config import apply_overrides, load_py_config
+    from recondet3d.data.nuscenes import NuScenesDataset
+    from recondet3d.parallel import autoscale_lr, make_mesh
+    from recondet3d.train import Trainer, latest_checkpoint, load_checkpoint
+
+    args = parse_args(argv)
+    overrides = dict(kv.split("=", 1) for kv in args.cfg_options)
+    cfg = load_py_config(args.config, overrides)
+    work_dir = args.work_dir or cfg.get("work_dir") or os.path.join(
+        "work_dirs", os.path.splitext(os.path.basename(args.config))[0]
+    )
+    os.makedirs(work_dir, exist_ok=True)
+
+    np.random.seed(args.seed)
+    model = build_model_from_cfg(cfg)
+
+    dcfg = cfg["data"]["train"]
+    inner = dcfg.get("dataset", dcfg)
+    dataset = NuScenesDataset(
+        ann_file=inner["ann_file"], data_root=inner.get("data_root", ""),
+        classes=inner.get("classes"),
+        load_interval=inner.get("load_interval", 1),
+    )
+    total_epochs = int(cfg.get("total_epochs", 8))
+    total_steps = args.max_steps or (len(dataset) * total_epochs)
+
+    mesh = make_mesh()
+    lr = float(cfg.get("optimizer", {}).get("lr", 1e-3))
+    if args.autoscale_lr:
+        lr = autoscale_lr(lr, 1, mesh)
+    trainer = Trainer(
+        model=model, total_steps=total_steps, lr=lr,
+        weight_decay=float(cfg.get("optimizer", {}).get("weight_decay", 0.01)),
+        grad_clip=float(
+            cfg.get("optimizer_config", {}).get("grad_clip", {}).get("max_norm", 100.0)
+        ),
+        mesh=mesh, work_dir=work_dir, checkpoint_interval=len(dataset),
+    )
+
+    it = data_iterator(dataset, num_points_gt=40000, img_hw=(900, 1600),
+                       n_cams=6, epochs=total_epochs)
+    first = next(it)
+    state = trainer.init_state(jax.random.PRNGKey(args.seed), first)
+    if args.resume_from:
+        state = load_checkpoint(args.resume_from, target=jax.device_get(state))
+    elif latest_checkpoint(work_dir):
+        state = load_checkpoint(latest_checkpoint(work_dir), target=jax.device_get(state))
+
+    def log(step, m):
+        print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()), flush=True)
+
+    import itertools
+
+    state, _ = trainer.run(state, itertools.chain([first], it),
+                           max_steps=total_steps, log_fn=log)
+    trainer.save_checkpoint(state)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

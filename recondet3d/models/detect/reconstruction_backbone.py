@@ -94,7 +94,12 @@ class ReconstructionBackbone(nn.Module):
             )
             return fps_downsample(p, m, num_points=self.num_points)
 
-        pts, msk = jax.vmap(pipeline)(pts, msk)
+        # static python loop over the (small) batch — vmap would push its
+        # batching rule through the Pallas FPS kernel and the scan-based
+        # ball query, degrading them ~16x (measured 20s vs 1.2s at B=1)
+        outs = [pipeline(pts[b], msk[b]) for b in range(B)]
+        pts = jnp.stack([o[0] for o in outs])
+        msk = jnp.stack([o[1] for o in outs])
         return pts, msk, da3_out
 
     def __call__(

@@ -3,14 +3,18 @@
 The XLA while-loop formulation of FPS pays per-iteration kernel-dispatch
 overhead x K (25k-40k iterations in the ResDet3D pipeline — reference:
 respoint_post_processing.py FPSDownsample/BallQueryDownsample). Here one
-``pallas_call`` with ``grid=(K,)`` runs the whole selection: the running
-min-distance array lives in a VMEM output that persists across grid
-steps, the previously selected index is carried in SMEM scratch, and each
-grid step is two fused VPU passes over the resident points.
+``pallas_call`` with ``grid=(K,)`` runs the whole selection:
 
-VMEM budget: N*16 bytes (xyz planes + min-dist, fp32) — N up to ~850k on
-a v5e. Selection semantics match
-recondet3d.ops.sampling.furthest_point_sample exactly.
+- the point planes + running min-distances live in VMEM *scratch* (which
+  persists across grid steps) and are DMA'd from HBM once at step 0 —
+  block-spec'd inputs would be double-buffered by the pallas pipeline and
+  blow VMEM at N~850k;
+- the previously selected index is carried in SMEM scratch;
+- each grid step is two fused VPU passes over the resident points.
+
+VMEM budget: N*16 bytes (xyz + min-dist, fp32) — N up to ~850k on a
+v5e. Selection semantics match recondet3d.ops.sampling.
+furthest_point_sample_xla exactly.
 """
 
 from __future__ import annotations
@@ -27,38 +31,75 @@ __all__ = ["furthest_point_sample_pallas"]
 _LANES = 128
 
 
-def _fps_kernel(pts_ref, dist_in_ref, idx_ref, dist_ref, last_ref, *, rows):
-    """Grid step i selects point i. pts_ref (3, rows, 128); dist refs
-    (rows, 128) aliased; idx_ref (1, Kpad); last_ref SMEM (1,) carry."""
-    del dist_in_ref  # aliased with dist_ref
+_BLOCK_ROWS = 512
+
+
+def _fps_kernel(pts_hbm, dist_hbm, idx_ref, pts_ref, dist_ref, last_ref, sem,
+                *, rows):
+    """Grid step i selects point i. The per-step passes run in static row
+    blocks so live temporaries stay ~0.25 MB next to the ~14 MB resident
+    scratch."""
     i = pl.program_id(0)
     big = jnp.int32(rows * _LANES)
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
-    flat = r_iota * _LANES + c_iota
+    n_blocks = rows // _BLOCK_ROWS
     kidx = jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, 1)
+
+    def block_iota(b):
+        r = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 1)
+        return (b * _BLOCK_ROWS + r) * _LANES + c
 
     @pl.when(i == 0)
     def _():
-        valid = dist_ref[:] > -jnp.inf
-        first = jnp.min(jnp.where(valid, flat, big))
+        cp1 = pltpu.make_async_copy(pts_hbm, pts_ref, sem.at[0])
+        cp2 = pltpu.make_async_copy(dist_hbm, dist_ref, sem.at[1])
+        cp1.start()
+        cp2.start()
+        cp1.wait()
+        cp2.wait()
+
+        def first_body(b, acc):
+            sl = pl.ds(b * _BLOCK_ROWS, _BLOCK_ROWS)
+            v = dist_ref[sl, :] > -jnp.inf
+            return jnp.minimum(acc, jnp.min(jnp.where(v, block_iota(b), big)))
+
+        first = jax.lax.fori_loop(0, n_blocks, first_body, big)
         idx_ref[:] = jnp.where(kidx == 0, first, 0)
         last_ref[0] = first
 
     @pl.when(i > 0)
     def _():
         last = last_ref[0]
-        sel = (flat == last).astype(jnp.float32)
-        px = jnp.sum(pts_ref[0] * sel)
-        py = jnp.sum(pts_ref[1] * sel)
-        pz = jnp.sum(pts_ref[2] * sel)
-        dx = pts_ref[0] - px
-        dy = pts_ref[1] - py
-        dz = pts_ref[2] - pz
-        nd = jnp.minimum(dist_ref[:], dx * dx + dy * dy + dz * dz)
-        dist_ref[:] = nd
-        m = jnp.max(nd)
-        nxt = jnp.min(jnp.where(nd == m, flat, big))
+
+        def extract(b, acc):
+            sl = pl.ds(b * _BLOCK_ROWS, _BLOCK_ROWS)
+            sel = (block_iota(b) == last).astype(jnp.float32)
+            return (
+                acc[0] + jnp.sum(pts_ref[0, sl, :] * sel),
+                acc[1] + jnp.sum(pts_ref[1, sl, :] * sel),
+                acc[2] + jnp.sum(pts_ref[2, sl, :] * sel),
+            )
+
+        px, py, pz = jax.lax.fori_loop(
+            0, n_blocks, extract, (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+        )
+
+        def update(b, acc):
+            best, best_idx = acc
+            sl = pl.ds(b * _BLOCK_ROWS, _BLOCK_ROWS)
+            dx = pts_ref[0, sl, :] - px
+            dy = pts_ref[1, sl, :] - py
+            dz = pts_ref[2, sl, :] - pz
+            nd = jnp.minimum(dist_ref[sl, :], dx * dx + dy * dy + dz * dz)
+            dist_ref[sl, :] = nd
+            m = jnp.max(nd)
+            bidx = jnp.min(jnp.where(nd == m, block_iota(b), big))
+            take = m > best
+            return jnp.where(take, m, best), jnp.where(take, bidx, best_idx)
+
+        _, nxt = jax.lax.fori_loop(
+            0, n_blocks, update, (-jnp.inf, big)
+        )
         idx_ref[:] = jnp.where(kidx == i, nxt, idx_ref[:])
         last_ref[0] = nxt
 
@@ -72,7 +113,8 @@ def furthest_point_sample_pallas(
 ) -> jnp.ndarray:
     """(N, 3) [+ (N,) mask] -> (num_samples,) int32 indices."""
     N = points.shape[0]
-    pad = (-N) % _LANES
+    per_block = _BLOCK_ROWS * _LANES
+    pad = (-N) % per_block
     rows = (N + pad) // _LANES
 
     pts = jnp.pad(points.astype(jnp.float32), ((0, pad), (0, 0)))
@@ -89,26 +131,24 @@ def furthest_point_sample_pallas(
     kpad = (-num_samples) % _LANES
     vmem_bytes = (4 * rows * _LANES * 4) + (num_samples + kpad) * 4 + (4 << 20)
 
-    idx, _ = pl.pallas_call(
+    idx = pl.pallas_call(
         functools.partial(_fps_kernel, rows=rows),
         grid=(num_samples,),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, num_samples + kpad), jnp.int32),
-            jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((1, num_samples + kpad), jnp.int32),
         in_specs=[
-            pl.BlockSpec((3, rows, _LANES), lambda i: (0, 0, 0)),
-            pl.BlockSpec((rows, _LANES), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec((1, num_samples + kpad), lambda i: (0, 0)),
-            pl.BlockSpec((rows, _LANES), lambda i: (0, 0)),
-        ),
-        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        out_specs=pl.BlockSpec((1, num_samples + kpad), lambda i: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((3, rows, _LANES), jnp.float32),
+            pltpu.VMEM((rows, _LANES), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(vmem_bytes, 120 * 1024 * 1024)),
         ),
-        input_output_aliases={1: 1},
         interpret=interpret,
     )(planes, dist0)
     return idx[0, :num_samples]

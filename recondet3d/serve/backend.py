@@ -1,0 +1,229 @@
+"""Model-resident inference HTTP backend.
+
+Re-implementation of the reference FastAPI service
+(reference: depth_anything_3/services/backend.py:99-1417 — ModelManager
+keeping the model loaded, a worker-thread task queue, endpoints for
+inference / task status / memory / health, stale-task cleanup, and a
+gallery manifest). FastAPI/uvicorn are absent from this image, so the
+same surface is served with the stdlib ThreadingHTTPServer — no
+dependencies, same JSON contract:
+
+  POST /inference        {"images": [paths...], "export_format": ...}
+  GET  /status/<task_id>
+  GET  /tasks
+  GET  /health
+  GET  /device-memory    (the reference's /gpu-memory)
+  GET  /gallery/manifest
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import traceback
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from queue import Empty, Queue
+from typing import Dict, Optional
+
+from recondet3d.utils.logger import get_logger
+
+logger = get_logger("recondet3d.serve")
+
+__all__ = ["ModelManager", "start_server", "create_server"]
+
+STALE_TASK_SECONDS = 3600
+
+
+class ModelManager:
+    """Keeps the DA3 model resident; runs queued inference tasks on a
+    worker thread (reference: backend.py ModelManager + task loop)."""
+
+    def __init__(self, model_name: str, cache_dir: str = "ckpts", workdir: str = "da3_backend"):
+        self.model_name = model_name
+        self.cache_dir = cache_dir
+        self.workdir = os.path.abspath(workdir)
+        os.makedirs(self.workdir, exist_ok=True)
+        self._model = None
+        self._lock = threading.Lock()
+        self.tasks: Dict[str, dict] = {}
+        self.queue: "Queue[str]" = Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._cleaner = threading.Thread(target=self._cleanup_loop, daemon=True)
+
+    def start(self):
+        self._worker.start()
+        self._cleaner.start()
+
+    def stop(self):
+        self._stop.set()
+
+    @property
+    def model(self):
+        with self._lock:
+            if self._model is None:
+                from recondet3d.api import DepthAnything3
+
+                logger.info(f"loading model {self.model_name}")
+                self._model = DepthAnything3.from_pretrained(
+                    self.model_name, cache_dir=self.cache_dir
+                )
+            return self._model
+
+    def reload(self):
+        with self._lock:
+            self._model = None
+
+    def submit(self, payload: dict) -> str:
+        task_id = uuid.uuid4().hex[:12]
+        self.tasks[task_id] = dict(
+            id=task_id, status="queued", created=time.time(), payload=payload,
+            result=None, error=None,
+        )
+        self.queue.put(task_id)
+        return task_id
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                task_id = self.queue.get(timeout=0.5)
+            except Empty:
+                continue
+            task = self.tasks.get(task_id)
+            if task is None:
+                continue
+            task["status"] = "running"
+            task["started"] = time.time()
+            try:
+                task["result"] = self._infer(task_id, task["payload"])
+                task["status"] = "done"
+            except Exception as e:  # noqa: BLE001
+                task["status"] = "failed"
+                task["error"] = f"{e}\n{traceback.format_exc()}"
+                logger.error(f"task {task_id} failed: {e}")
+            task["finished"] = time.time()
+
+    def _infer(self, task_id: str, payload: dict) -> dict:
+        images = payload["images"]
+        export_dir = os.path.join(self.workdir, "tasks", task_id)
+        pred = self.model.inference(
+            images,
+            export_dir=export_dir,
+            export_format=payload.get("export_format", "mini_npz"),
+            process_res=int(payload.get("process_res", 504)),
+            infer_gs=bool(payload.get("infer_gs", False)),
+            use_ray_pose=bool(payload.get("use_ray_pose", False)),
+            ref_view_strategy=payload.get("ref_view_strategy", "saddle_balanced"),
+        )
+        return dict(
+            export_dir=export_dir,
+            depth_shape=list(pred.depth.shape),
+            num_views=int(pred.depth.shape[0]),
+        )
+
+    def _cleanup_loop(self):
+        """Drop stale finished tasks (reference: backend.py:392-457)."""
+        while not self._stop.is_set():
+            now = time.time()
+            stale = [
+                tid for tid, t in list(self.tasks.items())
+                if t["status"] in ("done", "failed")
+                and now - t.get("finished", now) > STALE_TASK_SECONDS
+            ]
+            for tid in stale:
+                self.tasks.pop(tid, None)
+            self._stop.wait(60)
+
+    def device_memory(self) -> dict:
+        """HBM usage (the reference's /gpu-memory, backend.py:1235)."""
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats() or {}
+            return {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+                "platform": jax.default_backend(),
+            }
+        except Exception as e:  # noqa: BLE001
+            return {"error": str(e)}
+
+    def gallery_manifest(self) -> list:
+        tasks_dir = os.path.join(self.workdir, "tasks")
+        if not os.path.isdir(tasks_dir):
+            return []
+        out = []
+        for tid in sorted(os.listdir(tasks_dir)):
+            d = os.path.join(tasks_dir, tid)
+            out.append(dict(task_id=tid, files=sorted(os.listdir(d))))
+        return out
+
+
+def create_server(manager: ModelManager, host: str = "127.0.0.1", port: int = 8000):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            logger.info("%s " + fmt, self.address_string(), *args)
+
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json({"status": "ok", "model": manager.model_name})
+            elif self.path in ("/device-memory", "/gpu-memory"):
+                self._json(manager.device_memory())
+            elif self.path == "/tasks":
+                self._json(
+                    {tid: {k: t[k] for k in ("status", "created")}
+                     for tid, t in manager.tasks.items()}
+                )
+            elif self.path.startswith("/status/"):
+                tid = self.path.split("/")[-1]
+                t = manager.tasks.get(tid)
+                if t is None:
+                    self._json({"error": "unknown task"}, 404)
+                else:
+                    self._json({k: t[k] for k in ("id", "status", "result", "error")})
+            elif self.path == "/gallery/manifest":
+                self._json(manager.gallery_manifest())
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            if self.path == "/inference":
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    return self._json({"error": "bad json"}, 400)
+                if not payload.get("images"):
+                    return self._json({"error": "'images' required"}, 400)
+                task_id = manager.submit(payload)
+                self._json({"task_id": task_id, "status": "queued"})
+            elif self.path == "/reload":
+                manager.reload()
+                self._json({"status": "reloading"})
+            else:
+                self._json({"error": "not found"}, 404)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def start_server(model_name: str, cache_dir: str = "ckpts", host: str = "127.0.0.1",
+                 port: int = 8000, workdir: str = "da3_backend"):
+    manager = ModelManager(model_name, cache_dir, workdir)
+    manager.start()
+    server = create_server(manager, host, port)
+    logger.info(f"serving on http://{host}:{port}")
+    try:
+        server.serve_forever()
+    finally:
+        manager.stop()
