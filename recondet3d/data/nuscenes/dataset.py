@@ -129,6 +129,59 @@ class NuScenesDataset:
             gt_boxes = np.concatenate([gt_boxes, vel], axis=-1)
         return dict(gt_bboxes_3d=gt_boxes, gt_labels_3d=labels, gt_names=names)
 
+    # class-distance filter ranges (devkit eval config, meters from ego)
+    CLS_RANGE = {
+        "car": 50, "truck": 50, "bus": 50, "trailer": 50,
+        "construction_vehicle": 50, "pedestrian": 40, "motorcycle": 40,
+        "bicycle": 40, "traffic_cone": 30, "barrier": 30,
+    }
+
+    def evaluate(self, results, metric: str = "bbox", **kwargs):
+        """nuScenes mAP/NDS over per-sample detection results
+        (reference: nuscenes_dataset.py:424-489 evaluate -> devkit
+        NuScenesEval; here via the self-contained evaluator, matching in
+        the LiDAR frame — center-distance metrics are invariant to the
+        per-sample rigid transform the devkit applies).
+
+        results: list (len == len(self)) of dicts with 'boxes_3d' (N, 7/9),
+        'scores_3d' (N,), 'labels_3d' (N,).
+        """
+        from recondet3d.train.eval.nuscenes_eval import DetectionBox, evaluate_nuscenes
+
+        gt_list, pred_list = [], []
+        for idx in range(len(self)):
+            token = self.data_infos[idx]["token"]
+            ann = self.get_ann_info(idx)
+            for box, lbl in zip(ann["gt_bboxes_3d"], ann["gt_labels_3d"]):
+                if lbl < 0:
+                    continue
+                name = self.CLASSES[lbl]
+                if np.linalg.norm(box[:2]) > self.CLS_RANGE.get(name, 50):
+                    continue
+                vel = box[7:9] if len(box) >= 9 else np.zeros(2)
+                gt_list.append(DetectionBox(
+                    token, box[:3], box[3:6], box[6], vel, name,
+                ))
+            res = results[idx]
+            boxes = np.asarray(res["boxes_3d"])
+            scores = np.asarray(res["scores_3d"])
+            labels = np.asarray(res["labels_3d"])
+            for box, score, lbl in zip(boxes, scores, labels):
+                name = self.CLASSES[int(lbl)]
+                if np.linalg.norm(box[:2]) > self.CLS_RANGE.get(name, 50):
+                    continue
+                vel = box[7:9] if len(box) >= 9 else np.zeros(2)
+                pred_list.append(DetectionBox(
+                    token, box[:3], box[3:6], box[6], vel, name, float(score),
+                ))
+        metrics = evaluate_nuscenes(gt_list, pred_list, self.CLASSES)
+        out = {f"pts_bbox_NuScenes/{k}_AP": v for k, v in metrics["class_aps"].items()}
+        out["pts_bbox_NuScenes/mAP"] = metrics["mAP"]
+        out["pts_bbox_NuScenes/NDS"] = metrics["NDS"]
+        for k, v in metrics["tp_errors"].items():
+            out[f"pts_bbox_NuScenes/{k}"] = v
+        return out
+
     def _path(self, p: str) -> str:
         if os.path.isabs(p) or not self.data_root:
             return p

@@ -101,6 +101,12 @@ class Trainer:
         variables = self.model.init(rng, return_loss=True, train=False, **example_batch)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        # tensor-parallel parameter layout over the 'model' axis (no-op on a
+        # data-only mesh); optimizer moments inherit the layout via
+        # zeros_like
+        from recondet3d.parallel.tp import shard_params
+
+        params = shard_params(params, self.mesh)
         opt_state = self.optimizer.init(params)
         return TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
@@ -109,14 +115,10 @@ class Trainer:
 
     def compile(self):
         step = make_train_step(self.model, self.optimizer)
-        repl = NamedSharding(self.mesh, P())
-        data = NamedSharding(self.mesh, P(DATA_AXIS))
-        self._step_fn = jax.jit(
-            step,
-            in_shardings=(repl, None),
-            out_shardings=(repl, repl),
-            donate_argnums=(0,),
-        )
+        # shardings are carried by the arguments (params laid out by
+        # init_state, batch by shard_batch); GSPMD propagates the rest and
+        # inserts the gradient psums / TP all-reduces
+        self._step_fn = jax.jit(step, donate_argnums=(0,))
         return self._step_fn
 
     def run(self, state: TrainState, data_iter, max_steps: Optional[int] = None,

@@ -105,6 +105,29 @@ def test_dataset_get_data_info(nusc_root):
     assert set(ann["gt_labels_3d"]) <= {0, 8}  # car, pedestrian
 
 
+def test_dataset_evaluate_gt_gives_perfect_map(nusc_root):
+    ds = NuScenesDataset(
+        ann_file=os.path.join(nusc_root, "nuscenes_mini_infos_train.pkl"),
+    )
+    results = []
+    for i in range(len(ds)):
+        ann = ds.get_ann_info(i)
+        results.append(dict(
+            boxes_3d=ann["gt_bboxes_3d"],
+            scores_3d=np.full(len(ann["gt_bboxes_3d"]), 0.9),
+            labels_3d=ann["gt_labels_3d"],
+        ))
+    m = ds.evaluate(results)
+    assert m["pts_bbox_NuScenes/mAP"] > 0.95
+    assert m["pts_bbox_NuScenes/NDS"] > 0.95
+
+    # empty predictions -> zero mAP
+    empty = [dict(boxes_3d=np.zeros((0, 9)), scores_3d=np.zeros(0),
+                  labels_3d=np.zeros(0, np.int64)) for _ in range(len(ds))]
+    m0 = ds.evaluate(empty)
+    assert m0["pts_bbox_NuScenes/mAP"] == 0.0
+
+
 def test_cbgs_wrapper(nusc_root):
     ds = NuScenesDataset(
         ann_file=os.path.join(nusc_root, "nuscenes_mini_infos_train.pkl"),

@@ -53,6 +53,34 @@ def _batch(rng, B=2):
     return dict(img=img, cam2lidar_rts=c2l, gt_points=gt)
 
 
+def test_tp_param_shardings():
+    import jax.numpy as jnp
+
+    from recondet3d.models.da3.vit import DinoViT
+    from recondet3d.parallel.tp import shard_params
+
+    mesh = make_mesh(data=4, model=2)
+    vit = DinoViT(name_preset="vits", out_layers=(5, 7, 9, 11),
+                  dtype=jnp.float32, attn_impl="xla")
+    params = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 28, 28, 3)))
+    sharded = shard_params(params, mesh)
+    qkv = sharded["params"]["blocks_0"]["attn"]["qkv"]["kernel"]
+    proj = sharded["params"]["blocks_0"]["attn"]["proj"]["kernel"]
+    pe = sharded["params"]["pos_embed"]
+    # column-parallel qkv: output dim split over 'model'
+    assert qkv.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    assert proj.sharding.spec == jax.sharding.PartitionSpec("model", None)
+    assert pe.sharding.spec == jax.sharding.PartitionSpec()
+    # the math still matches the replicated forward
+    x = jnp.ones((1, 1, 28, 28, 3))
+    with mesh:
+        out_sharded, _ = jax.jit(lambda p, x: vit.apply(p, x))(sharded, x)
+    out_ref, _ = vit.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded[0][0]), np.asarray(out_ref[0][0]), atol=2e-5, rtol=1e-4
+    )
+
+
 @pytest.mark.slow
 def test_train_steps_decrease_loss(tmp_path):
     model = _tiny_model()
