@@ -127,6 +127,31 @@ def export_to_gs_ply(prediction, export_dir: str) -> str:
     return path
 
 
+def export_to_gs_video(prediction, export_dir: str, render_hw=None,
+                       render_exts=None, render_ixts=None, fps: int = 15,
+                       **kw) -> str:
+    """Render the gaussians along a camera trajectory to .mp4
+    (reference: utils/export/gs.py:61 export_to_gs_video; gsplat+moviepy
+    replaced by the Pallas-era JAX rasterizer + cv2)."""
+    from recondet3d.models.da3.gs_renderer import render_trajectory_video
+    from recondet3d.utils.camera_traj import interpolate_camera_path
+
+    g = prediction.gaussians
+    if g is None:
+        raise ValueError("prediction has no gaussians; run with infer_gs=True")
+    os.makedirs(export_dir, exist_ok=True)
+    if render_exts is None:
+        render_exts, render_ixts = interpolate_camera_path(
+            np.asarray(prediction.extrinsics), np.asarray(prediction.intrinsics),
+            n_frames=30,
+        )
+    if render_hw is None:
+        render_hw = np.asarray(prediction.depth).shape[-2:]
+    path = os.path.join(export_dir, "gs_video.mp4")
+    return render_trajectory_video(g, render_exts, render_ixts, tuple(render_hw),
+                                   path, fps=fps)
+
+
 def export_to_colmap(prediction, export_dir: str) -> str:
     """cameras/images/points3D binary COLMAP model
     (reference: utils/export/colmap.py:28 + vendored read_write_model.py)."""
@@ -141,6 +166,7 @@ _EXPORTERS = {
     "mini_npz": lambda pred, d, **kw: export_to_mini_npz(pred, d),
     "depth_vis": lambda pred, d, **kw: export_to_depth_vis(pred, d),
     "gs_ply": lambda pred, d, **kw: export_to_gs_ply(pred, d),
+    "gs_video": lambda pred, d, **kw: export_to_gs_video(pred, d, **kw),
     "colmap": lambda pred, d, **kw: export_to_colmap(pred, d),
 }
 

@@ -1,0 +1,361 @@
+"""Host-side data pipeline transforms (numpy/cv2).
+
+Re-implementations of the transforms the ResDet3D configs use
+(reference: projects/mmdet3d_plugin/datasets/pipelines/transform_3d.py —
+PadMultiViewImage:126, NormalizeMultiviewImage:178,
+ScaleImageMultiViewImage:214, PhotoMetricDistortionMultiViewImage:253,
+ImageAug3D:21; and mmdetection3d/mmdet3d/datasets/pipelines/ —
+LoadPointsFromFile:334, LoadMultiViewImageFromFiles:11,
+LoadAnnotations3D:457, GlobalRotScaleTrans, RandomFlip3D,
+PointsRangeFilter, ObjectNameFilter, PointShuffle, DefaultFormatBundle3D,
+Collect3D). All operate on the results-dict protocol and run in the host
+loader (device work happens in the jitted model).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from recondet3d.core.box3d import LiDARBoxes3D
+from recondet3d.core.registry import PIPELINES
+
+__all__ = [
+    "Compose",
+    "LoadPointsFromFile",
+    "LoadMultiViewImageFromFiles",
+    "LoadAnnotations3D",
+    "PadMultiViewImage",
+    "NormalizeMultiviewImage",
+    "ScaleImageMultiViewImage",
+    "PhotoMetricDistortionMultiViewImage",
+    "GlobalRotScaleTrans",
+    "RandomFlip3D",
+    "PointsRangeFilter",
+    "ObjectRangeFilter",
+    "ObjectNameFilter",
+    "PointShuffle",
+    "DefaultFormatBundle3D",
+    "Collect3D",
+]
+
+
+class Compose:
+    def __init__(self, transforms: Sequence):
+        self.transforms = [
+            PIPELINES.build(t) if isinstance(t, dict) else t for t in transforms
+        ]
+
+    def __call__(self, results):
+        for t in self.transforms:
+            results = t(results)
+            if results is None:
+                return None
+        return results
+
+
+@PIPELINES.register()
+class LoadPointsFromFile:
+    def __init__(self, coord_type="LIDAR", load_dim=5, use_dim=(0, 1, 2),
+                 shift_height=False, **kw):
+        self.load_dim = load_dim
+        self.use_dim = list(use_dim) if not isinstance(use_dim, int) else list(range(use_dim))
+
+    def __call__(self, results):
+        pts = np.fromfile(results["pts_filename"], np.float32)
+        pts = pts.reshape(-1, self.load_dim)[:, self.use_dim]
+        results["points"] = pts
+        return results
+
+
+@PIPELINES.register()
+class LoadMultiViewImageFromFiles:
+    def __init__(self, to_float32=False, color_type="unchanged"):
+        self.to_float32 = to_float32
+
+    def __call__(self, results):
+        import cv2
+
+        imgs = [cv2.imread(p) for p in results["img_filename"]]  # BGR
+        img = np.stack(imgs, axis=-1)
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results["img"] = [img[..., i] for i in range(img.shape[-1])]
+        results["img_shape"] = imgs[0].shape
+        results["ori_shape"] = imgs[0].shape
+        results["pad_shape"] = imgs[0].shape
+        results["scale_factor"] = 1.0
+        results["img_norm_cfg"] = dict(
+            mean=np.zeros(3, np.float32), std=np.ones(3, np.float32), to_rgb=False
+        )
+        return results
+
+
+@PIPELINES.register()
+class LoadAnnotations3D:
+    def __init__(self, with_bbox_3d=True, with_label_3d=True, **kw):
+        self.with_bbox_3d = with_bbox_3d
+        self.with_label_3d = with_label_3d
+
+    def __call__(self, results):
+        ann = results.get("ann_info", {})
+        if self.with_bbox_3d:
+            results["gt_bboxes_3d"] = LiDARBoxes3D(ann["gt_bboxes_3d"]) \
+                if len(ann.get("gt_bboxes_3d", [])) else LiDARBoxes3D(np.zeros((0, 9)))
+        if self.with_label_3d:
+            results["gt_labels_3d"] = np.asarray(ann.get("gt_labels_3d", []), np.int64)
+        return results
+
+
+@PIPELINES.register()
+class PadMultiViewImage:
+    """Pad multi-view images to fixed size or size divisor
+    (reference: transform_3d.py:126)."""
+
+    def __init__(self, size=None, size_divisor=None, pad_val=0):
+        self.size = size
+        self.size_divisor = size_divisor
+        self.pad_val = pad_val
+
+    def __call__(self, results):
+        padded = []
+        for img in results["img"]:
+            h, w = img.shape[:2]
+            if self.size is not None:
+                th, tw = self.size
+            else:
+                d = self.size_divisor
+                th, tw = ((h + d - 1) // d) * d, ((w + d - 1) // d) * d
+            out = np.full((th, tw) + img.shape[2:], self.pad_val, img.dtype)
+            out[:h, :w] = img
+            padded.append(out)
+        results["img"] = padded
+        results["img_shape"] = [i.shape for i in padded]
+        results["pad_shape"] = [i.shape for i in padded]
+        results["pad_size_divisor"] = self.size_divisor
+        return results
+
+
+@PIPELINES.register()
+class NormalizeMultiviewImage:
+    """(reference: transform_3d.py:178) mean/std normalize + BGR->RGB."""
+
+    def __init__(self, mean, std, to_rgb=True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.to_rgb = to_rgb
+
+    def __call__(self, results):
+        out = []
+        for img in results["img"]:
+            img = img.astype(np.float32)
+            if self.to_rgb:
+                img = img[..., ::-1]
+            out.append((img - self.mean) / self.std)
+        results["img"] = out
+        results["img_norm_cfg"] = dict(mean=self.mean, std=self.std, to_rgb=self.to_rgb)
+        return results
+
+
+@PIPELINES.register()
+class ScaleImageMultiViewImage:
+    """Resize all views by a fixed factor or to a target size and rescale
+    lidar2img accordingly (reference: transform_3d.py:214)."""
+
+    def __init__(self, scales=0.5):
+        self.scales = scales
+
+    def __call__(self, results):
+        import cv2
+
+        out, l2i = [], []
+        for i, img in enumerate(results["img"]):
+            h, w = img.shape[:2]
+            if isinstance(self.scales, (tuple, list)):
+                tw, th = self.scales
+            else:
+                th, tw = int(h * self.scales), int(w * self.scales)
+            sy, sx = th / h, tw / w
+            out.append(cv2.resize(img, (tw, th), interpolation=cv2.INTER_LINEAR))
+            scale = np.eye(4)
+            scale[0, 0], scale[1, 1] = sx, sy
+            if "lidar2img" in results:
+                l2i.append(scale @ results["lidar2img"][i])
+        results["img"] = out
+        if l2i:
+            results["lidar2img"] = l2i
+        results["img_shape"] = [i.shape for i in out]
+        return results
+
+
+@PIPELINES.register()
+class PhotoMetricDistortionMultiViewImage:
+    """Random brightness/contrast/saturation/hue/channel-swap
+    (reference: transform_3d.py:253; same op order as mmdet's version)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18, seed=None):
+        self.brightness_delta = brightness_delta
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.saturation_lower, self.saturation_upper = saturation_range
+        self.hue_delta = hue_delta
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, results):
+        import cv2
+
+        out = []
+        for img in results["img"]:
+            img = img.astype(np.float32)
+            r = self.rng
+            if r.integers(2):
+                img += r.uniform(-self.brightness_delta, self.brightness_delta)
+            contrast_first = r.integers(2)
+            if contrast_first and r.integers(2):
+                img *= r.uniform(self.contrast_lower, self.contrast_upper)
+            hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_BGR2HSV).astype(np.float32)
+            if r.integers(2):
+                hsv[..., 1] *= r.uniform(self.saturation_lower, self.saturation_upper)
+            if r.integers(2):
+                hsv[..., 0] = (hsv[..., 0] + r.uniform(-self.hue_delta, self.hue_delta)) % 180
+            img = cv2.cvtColor(np.clip(hsv, 0, 255).astype(np.uint8), cv2.COLOR_HSV2BGR).astype(np.float32)
+            if not contrast_first and r.integers(2):
+                img *= r.uniform(self.contrast_lower, self.contrast_upper)
+            if r.integers(2):
+                img = img[..., r.permutation(3)]
+            out.append(img)
+        results["img"] = out
+        return results
+
+
+@PIPELINES.register()
+class GlobalRotScaleTrans:
+    """Random rotation/scale/translation of points + boxes
+    (reference: mmdet3d pipelines/transforms_3d.py GlobalRotScaleTrans)."""
+
+    def __init__(self, rot_range=(-0.785, 0.785), scale_ratio_range=(0.95, 1.05),
+                 translation_std=(0, 0, 0), seed=None):
+        self.rot_range = rot_range
+        self.scale_ratio_range = scale_ratio_range
+        self.translation_std = np.asarray(translation_std, np.float64)
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, results):
+        angle = self.rng.uniform(*self.rot_range)
+        scale = self.rng.uniform(*self.scale_ratio_range)
+        trans = self.rng.normal(scale=self.translation_std, size=3)
+
+        cos, sin = np.cos(angle), np.sin(angle)
+        R = np.array([[cos, -sin, 0], [sin, cos, 0], [0, 0, 1]])
+        pts = results["points"]
+        pts[:, :3] = pts[:, :3] @ R.T * scale + trans
+        results["points"] = pts
+        if "gt_bboxes_3d" in results and len(results["gt_bboxes_3d"]):
+            results["gt_bboxes_3d"].rotate(angle).scale(scale).translate(trans)
+        results["pcd_rotation"] = R
+        results["pcd_scale_factor"] = scale
+        results["pcd_trans"] = trans
+        return results
+
+
+@PIPELINES.register()
+class RandomFlip3D:
+    """BEV flip of points/boxes (reference: mmdet3d RandomFlip3D)."""
+
+    def __init__(self, sync_2d=False, flip_ratio_bev_horizontal=0.0,
+                 flip_ratio_bev_vertical=0.0, seed=None, **kw):
+        self.ph = flip_ratio_bev_horizontal
+        self.pv = flip_ratio_bev_vertical
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, results):
+        fh = self.rng.random() < self.ph
+        fv = self.rng.random() < self.pv
+        pts = results["points"]
+        if fh:
+            pts[:, 1] = -pts[:, 1]
+            if "gt_bboxes_3d" in results and len(results["gt_bboxes_3d"]):
+                results["gt_bboxes_3d"].flip("horizontal")
+        if fv:
+            pts[:, 0] = -pts[:, 0]
+            if "gt_bboxes_3d" in results and len(results["gt_bboxes_3d"]):
+                results["gt_bboxes_3d"].flip("vertical")
+        results["points"] = pts
+        results["pcd_horizontal_flip"] = fh
+        results["pcd_vertical_flip"] = fv
+        return results
+
+
+@PIPELINES.register()
+class PointsRangeFilter:
+    def __init__(self, point_cloud_range):
+        self.pcr = np.asarray(point_cloud_range, np.float64)
+
+    def __call__(self, results):
+        pts = results["points"]
+        m = np.all(pts[:, :3] >= self.pcr[:3], 1) & np.all(pts[:, :3] <= self.pcr[3:], 1)
+        results["points"] = pts[m]
+        return results
+
+
+@PIPELINES.register()
+class ObjectRangeFilter:
+    def __init__(self, point_cloud_range):
+        self.bev_range = np.asarray(point_cloud_range)[[0, 1, 3, 4]]
+
+    def __call__(self, results):
+        boxes = results["gt_bboxes_3d"]
+        m = boxes.in_range_bev(self.bev_range)
+        results["gt_bboxes_3d"] = boxes[m]
+        results["gt_labels_3d"] = results["gt_labels_3d"][m]
+        return results
+
+
+@PIPELINES.register()
+class ObjectNameFilter:
+    def __init__(self, classes):
+        self.classes = list(classes)
+
+    def __call__(self, results):
+        labels = results["gt_labels_3d"]
+        m = (labels >= 0) & (labels < len(self.classes))
+        results["gt_bboxes_3d"] = results["gt_bboxes_3d"][m]
+        results["gt_labels_3d"] = labels[m]
+        return results
+
+
+@PIPELINES.register()
+class PointShuffle:
+    def __init__(self, seed=None):
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, results):
+        results["points"] = results["points"][self.rng.permutation(len(results["points"]))]
+        return results
+
+
+@PIPELINES.register()
+class DefaultFormatBundle3D:
+    """Stack multi-view images to (N, H, W, 3) arrays (our format; the
+    reference stacks channel-first DataContainers)."""
+
+    def __init__(self, class_names=None, with_label=True):
+        self.with_label = with_label
+
+    def __call__(self, results):
+        if "img" in results and isinstance(results["img"], list):
+            results["img"] = np.stack(results["img"])
+        return results
+
+
+@PIPELINES.register()
+class Collect3D:
+    def __init__(self, keys, meta_keys=()):
+        self.keys = keys
+        self.meta_keys = meta_keys
+
+    def __call__(self, results):
+        out = {k: results[k] for k in self.keys if k in results}
+        out["img_metas"] = {k: results[k] for k in self.meta_keys if k in results}
+        return out

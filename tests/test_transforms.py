@@ -1,0 +1,86 @@
+"""Host pipeline transforms over the synthetic nuScenes fixture."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nuscenes_fixture import make_fixture
+from recondet3d.data.nuscenes import NuScenesDataset, create_nuscenes_infos
+from recondet3d.data.pipelines.transforms import (
+    Collect3D,
+    Compose,
+    DefaultFormatBundle3D,
+    GlobalRotScaleTrans,
+    LoadAnnotations3D,
+    LoadMultiViewImageFromFiles,
+    LoadPointsFromFile,
+    NormalizeMultiviewImage,
+    ObjectNameFilter,
+    PadMultiViewImage,
+    PointsRangeFilter,
+    RandomFlip3D,
+    ScaleImageMultiViewImage,
+)
+
+
+@pytest.fixture(scope="module")
+def sample(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("nusc_t"))
+    make_fixture(root)
+    create_nuscenes_infos(root, info_prefix="x", val_scene_names=[])
+    ds = NuScenesDataset(ann_file=os.path.join(root, "x_infos_train.pkl"))
+    return ds.get_data_info(0)
+
+
+def test_train_pipeline(sample):
+    pipe = Compose([
+        LoadPointsFromFile(load_dim=5, use_dim=(0, 1, 2)),
+        LoadAnnotations3D(),
+        LoadMultiViewImageFromFiles(to_float32=True),
+        PointsRangeFilter(point_cloud_range=(-54, -54, -5, 54, 54, 3)),
+        ObjectNameFilter(classes=NuScenesDataset.CLASSES),
+        DefaultFormatBundle3D(),
+        Collect3D(keys=["points", "img", "gt_bboxes_3d", "gt_labels_3d"],
+                  meta_keys=("lidar2img", "cam2lidar_rts", "img_shape")),
+    ])
+    out = pipe(dict(sample))
+    assert out["img"].shape == (2, 90, 160, 3)
+    assert out["points"].shape[1] == 3
+    assert np.all(np.abs(out["points"][:, :2]) <= 54)
+    assert len(out["img_metas"]["cam2lidar_rts"]) == 2
+    assert len(out["gt_bboxes_3d"]) == len(out["gt_labels_3d"])
+
+
+def test_geometry_transforms(sample):
+    data = Compose([
+        LoadPointsFromFile(load_dim=5, use_dim=(0, 1, 2)),
+        LoadAnnotations3D(),
+    ])(dict(sample))
+    pts0 = data["points"].copy()
+    box0 = data["gt_bboxes_3d"].tensor.copy()
+
+    GlobalRotScaleTrans(rot_range=(0.5, 0.5), scale_ratio_range=(2.0, 2.0),
+                        translation_std=(0, 0, 0))(data)
+    # points rotated+scaled consistently with boxes
+    c, s = np.cos(0.5), np.sin(0.5)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    np.testing.assert_allclose(data["points"][:, :3], pts0 @ R.T * 2, rtol=1e-5)
+    np.testing.assert_allclose(
+        data["gt_bboxes_3d"].center, box0[:, :3] @ R.T * 2, rtol=1e-5
+    )
+    np.testing.assert_allclose(data["gt_bboxes_3d"].dims, box0[:, 3:6] * 2, rtol=1e-6)
+
+    flipped = RandomFlip3D(flip_ratio_bev_horizontal=1.0)(data)
+    assert flipped["pcd_horizontal_flip"]
+
+
+def test_image_transforms(sample):
+    data = LoadMultiViewImageFromFiles(to_float32=True)(dict(sample))
+    data = ScaleImageMultiViewImage(scales=0.5)(data)
+    assert data["img"][0].shape[:2] == (45, 80)
+    data = NormalizeMultiviewImage(mean=[123.675, 116.28, 103.53],
+                                   std=[58.395, 57.12, 57.375])(data)
+    data = PadMultiViewImage(size_divisor=32)(data)
+    assert data["img"][0].shape[0] % 32 == 0
+    assert data["img"][0].shape[1] % 32 == 0
