@@ -60,27 +60,62 @@ def build_model_from_cfg(cfg):
     return ResDet3D(reconstruction_backbone=backbone)
 
 
-def data_iterator(dataset, num_points_gt: int, img_hw, n_cams: int, epochs: int):
-    """Host-side loader: images + cam2lidar + padded GT points."""
+def data_iterator(dataset, num_points_gt: int, img_hw, n_cams: int, epochs: int,
+                  prefetch_threads: int = 4):
+    """Host-side loader: images + cam2lidar + padded GT points. Lidar bins
+    are prefetched one sample ahead on the native C++ thread pool
+    (recondet3d/native.py PrefetchLoader — the mmcv dataloader-worker
+    equivalent); image decode runs through cv2 (GIL-free)."""
     import cv2
 
+    loader = None
+    try:
+        from recondet3d.native import PrefetchLoader, native_available
+
+        if native_available():
+            loader = PrefetchLoader(prefetch_threads)
+    except Exception:
+        loader = None
+
     H, W = img_hw
-    for _ in range(epochs):
-        for i in range(len(dataset)):
-            d = dataset.get_data_info(i)
-            imgs = []
-            for p in d["img_filename"][:n_cams]:
-                im = cv2.imread(p)[..., ::-1]
-                if im.shape[:2] != (H, W):
-                    im = cv2.resize(im, (W, H))
-                imgs.append(im)
-            img = np.stack(imgs)[None].astype(np.float32)
-            c2l = np.stack(d["cam2lidar_rts"][:n_cams])[None].astype(np.float32)
+    cap_bytes = num_points_gt * 5 * 4 * 4
+
+    def order():
+        for _ in range(epochs):
+            yield from range(len(dataset))
+
+    pending = None  # (tid, idx) prefetched lidar read
+    idx_iter = order()
+    nxt = next(idx_iter, None)
+    while nxt is not None:
+        i = nxt
+        if loader is not None and pending is None:
+            d0 = dataset.get_data_info(i)
+            pending = (loader.submit(d0["pts_filename"], cap_bytes)[0], i)
+        d = dataset.get_data_info(i)
+        imgs = []
+        for p in d["img_filename"][:n_cams]:
+            im = cv2.imread(p)[..., ::-1]
+            if im.shape[:2] != (H, W):
+                im = cv2.resize(im, (W, H))
+            imgs.append(im)
+        img = np.stack(imgs)[None].astype(np.float32)
+        c2l = np.stack(d["cam2lidar_rts"][:n_cams])[None].astype(np.float32)
+
+        nxt = next(idx_iter, None)
+        if loader is not None and pending is not None and pending[1] == i:
+            raw = loader.pop(pending[0])
+            pts = np.frombuffer(raw.tobytes(), np.float32).reshape(-1, 5)[:, :3]
+            pending = None
+            if nxt is not None:
+                dn = dataset.get_data_info(nxt)
+                pending = (loader.submit(dn["pts_filename"], cap_bytes)[0], nxt)
+        else:
             pts = np.fromfile(d["pts_filename"], np.float32).reshape(-1, 5)[:, :3]
-            gt = np.zeros((1, num_points_gt, 3), np.float32)
-            n = min(len(pts), num_points_gt)
-            gt[0, :n] = pts[:n]
-            yield dict(img=img, cam2lidar_rts=c2l, gt_points=gt)
+        gt = np.zeros((1, num_points_gt, 3), np.float32)
+        n = min(len(pts), num_points_gt)
+        gt[0, :n] = pts[:n]
+        yield dict(img=img, cam2lidar_rts=c2l, gt_points=gt)
 
 
 def main(argv=None):
