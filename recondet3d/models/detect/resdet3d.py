@@ -24,31 +24,50 @@ __all__ = ["ResDet3D"]
 
 class ResDet3D(nn.Module):
     reconstruction_backbone: ReconstructionBackbone
-    pts_bbox_head: Optional[nn.Module] = None
+    pts_bbox_head: Optional[nn.Module] = None  # e.g. CenterHead
+    class_names: tuple = ()
 
     def __call__(self, img, cam2lidar_rts, gt_points=None, gt_valid=None,
+                 gt_bboxes_3d=None, gt_labels_3d=None, gt_bboxes_valid=None,
                  return_loss: bool = False, train: bool = False):
-        return self.forward_train(img, cam2lidar_rts, gt_points, gt_valid, train) \
-            if return_loss else self.simple_test(img, cam2lidar_rts)
+        if return_loss:
+            return self.forward_train(
+                img, cam2lidar_rts, gt_points, gt_valid,
+                gt_bboxes_3d, gt_labels_3d, gt_bboxes_valid, train,
+            )
+        return self.simple_test(img, cam2lidar_rts)
 
-    def forward_train(self, img, cam2lidar_rts, gt_points, gt_valid=None, train=True):
+    def forward_train(self, img, cam2lidar_rts, gt_points, gt_valid=None,
+                      gt_bboxes_3d=None, gt_labels_3d=None,
+                      gt_bboxes_valid=None, train=True):
         """Returns losses dict with 'reconstruction_' prefixed keys
-        (reference: ResDet3D.py:131-162)."""
+        (reference: ResDet3D.py:131-162) plus detection losses when a head
+        + box targets are present."""
         pts, msk, r_losses, aux = self.reconstruction_backbone(
             img, cam2lidar_rts, gt_points=gt_points, gt_valid=gt_valid,
             return_loss=True, train=train,
         )
         losses = {f"reconstruction_{k}": v for k, v in r_losses.items()}
-        if self.pts_bbox_head is not None:
-            raise NotImplementedError(
-                "detection head training lands with the TransFusion-style head"
+        if self.pts_bbox_head is not None and gt_bboxes_3d is not None:
+            preds = self.pts_bbox_head(aux["bev_features"], train=train)
+            targets = self.pts_bbox_head.get_targets(
+                gt_bboxes_3d, gt_labels_3d,
+                gt_bboxes_valid if gt_bboxes_valid is not None
+                else (gt_labels_3d >= 0),
+                self.class_names or self.pts_bbox_head.task_class_names(),
             )
+            losses.update(self.pts_bbox_head.loss(preds, targets))
+            aux["det_preds"] = preds
         return losses, {"pseudo_points": pts, "pseudo_valid": msk, **aux}
 
     def simple_test(self, img, cam2lidar_rts):
-        """Returns per-sample pseudo point clouds
-        (reference: ResDet3D.py:184-213 bbox_list[i]['pseudo_points'])."""
+        """Returns per-sample pseudo point clouds (reference:
+        ResDet3D.py:184-213 bbox_list[i]['pseudo_points']) and raw head
+        predictions (decode on host via pts_bbox_head.decode)."""
         pts, msk, _, aux = self.reconstruction_backbone(
             img, cam2lidar_rts, return_loss=False, train=False,
         )
-        return {"pseudo_points": pts, "pseudo_valid": msk, "aux": aux}
+        out = {"pseudo_points": pts, "pseudo_valid": msk, "aux": aux}
+        if self.pts_bbox_head is not None:
+            out["det_preds"] = self.pts_bbox_head(aux["bev_features"], train=False)
+        return out

@@ -128,7 +128,11 @@ class SparseRefinement(nn.Module):
         occupancy_logits = self.bev_height_occupancy(sparse_features, train=train)
 
         losses: Dict[str, jnp.ndarray] = {}
-        aux = {"occupancy_logits": occupancy_logits, "pseudo_coors": coors}
+        aux = {
+            "occupancy_logits": occupancy_logits,
+            "pseudo_coors": coors,
+            "bev_features": sparse_features,
+        }
         if gt_points is not None:
             gt_map = self.generate_gt_occupancy_map(gt_points, gt_valid)
             aux["gt_occupancy_map"] = gt_map

@@ -79,6 +79,61 @@ def test_point_losses():
 
 
 @pytest.mark.slow
+def test_resdet3d_with_detection_head():
+    """Full pipeline with a CenterHead: occupancy + detection losses."""
+    from recondet3d.models.detect.centerhead import CenterHead
+
+    da3 = build_da3("da3-small", dtype=jnp.float32, attn_impl="xla")
+    refinement = SparseRefinement(
+        point_cloud_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 2.0),
+        voxel_size=(0.1, 0.1, 0.1), max_voxels=1024,
+        occ_feature_shape=(20, 20, 8), occ_max_voxels=512,
+        sparse_shape=(40, 160, 160), unet_channels=(32, 48, 64, 96),
+        stage_caps=(1024, 512, 384, 256), encoder_out_channels=16,
+    )
+    backbone = ReconstructionBackbone(
+        da3=da3, refinement=refinement, process_res=56,
+        filter_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 2.0),
+        bq_anchor_points=128, num_points=256, max_depth=20.0,
+    )
+    head = CenterHead(
+        in_channels=32,
+        point_cloud_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 2.0),
+        voxel_size=(0.1, 0.1, 0.1), out_size_factor=8,
+        tasks=(("car",), ("pedestrian",)), max_objs=8,
+    )
+    model = ResDet3D(reconstruction_backbone=backbone, pts_bbox_head=head,
+                     class_names=("car", "pedestrian"))
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (1, 2, 56, 84, 3)).astype(np.float32)
+    c2l = np.broadcast_to(np.eye(4, dtype=np.float32), (1, 2, 4, 4)).copy()
+    gt = rng.uniform(-7, 7, (1, 300, 3)).astype(np.float32)
+    gt[..., 2] = rng.uniform(-1.8, 1.8, (1, 300))
+    boxes = np.zeros((1, 8, 9), np.float32)
+    boxes[0, 0] = [2, -1, -0.5, 2, 4, 1.5, 0.3, 1, 0]
+    labels = np.full((1, 8), -1, np.int64)
+    labels[0, 0] = 0
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(c2l),
+        gt_points=jnp.asarray(gt), gt_bboxes_3d=jnp.asarray(boxes),
+        gt_labels_3d=jnp.asarray(labels), return_loss=True,
+    )
+    losses, _ = model.apply(
+        variables, jnp.asarray(img), jnp.asarray(c2l),
+        gt_points=jnp.asarray(gt), gt_bboxes_3d=jnp.asarray(boxes),
+        gt_labels_3d=jnp.asarray(labels), return_loss=True,
+    )
+    assert "reconstruction_loss_occupancy" in losses
+    assert "task0_loss_heatmap" in losses and "task0_loss_bbox" in losses
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+    out = model.apply(variables, jnp.asarray(img), jnp.asarray(c2l))
+    dets = head.decode(out["det_preds"], max_per_task=8, score_threshold=0.0)
+    assert len(dets) == 1 and "boxes_3d" in dets[0]
+
+
+@pytest.mark.slow
 def test_resdet3d_end_to_end():
     """Tiny full pipeline: 2 cams at 56x84 -> ~96 pts/cam grid."""
     da3 = build_da3("da3-small", dtype=jnp.float32, attn_impl="xla")
