@@ -134,7 +134,18 @@ def create_object(cfg: dict, **extra_kwargs: Any) -> Any:
     cls = getattr(module, spec["name"])
     args_mode = spec.get("args", "as_params")
     if args_mode == "as_params":
-        kwargs = {k: v for k, v in cfg.items() if k != "__object__"}
+        kwargs = {}
+        for k, v in cfg.items():
+            if k == "__object__":
+                continue
+            # nested reflective configs instantiate depth-first (the
+            # reference defers this into each constructor via _wrap_cfg;
+            # doing it here keeps constructors config-free)
+            if isinstance(v, dict) and "__object__" in v:
+                v = create_object(v)
+            elif isinstance(v, list):
+                v = tuple(v)
+            kwargs[k] = v
         kwargs.update(extra_kwargs)
         return cls(**kwargs)
     raise ValueError(f"Unsupported __object__.args mode: {args_mode!r}")

@@ -41,6 +41,19 @@ def test_merge_dicts():
     assert out == {"a": {"b": 5, "c": 2}}
 
 
+def test_yaml_model_registry():
+    import jax.numpy as jnp
+
+    from recondet3d.api.registry import build_from_yaml, get_all_models
+
+    assert "da3-small" in get_all_models()
+    model = build_from_yaml("da3-small")
+    out = model.init_with_output(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, 28, 28, 3))
+    )[0]
+    assert "depth" in out
+
+
 def test_mesh_sharding():
     n = len(jax.devices())
     mesh = make_mesh()
