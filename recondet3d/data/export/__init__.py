@@ -167,6 +167,7 @@ _EXPORTERS = {
     "depth_vis": lambda pred, d, **kw: export_to_depth_vis(pred, d),
     "gs_ply": lambda pred, d, **kw: export_to_gs_ply(pred, d),
     "gs_video": lambda pred, d, **kw: export_to_gs_video(pred, d, **kw),
+    "feat_vis": lambda pred, d, **kw: __import__("recondet3d.utils.pca_vis", fromlist=["x"]).export_to_feat_vis(pred, d),
     "colmap": lambda pred, d, **kw: export_to_colmap(pred, d),
 }
 
