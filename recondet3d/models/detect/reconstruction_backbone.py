@@ -91,6 +91,7 @@ class ReconstructionBackbone(nn.Module):
                 anchor_points=self.bq_anchor_points,
                 max_radius=self.bq_max_radius,
                 sample_num=self.bq_sample_num,
+                compact=True,
             )
             return fps_downsample(p, m, num_points=self.num_points)
 

