@@ -126,6 +126,10 @@ def main(argv=None):
     from recondet3d.parallel import autoscale_lr, make_mesh
     from recondet3d.train import Trainer, latest_checkpoint, load_checkpoint
 
+    from recondet3d.parallel import init_distributed
+
+    init_distributed()  # no-op on single host
+
     args = parse_args(argv)
     overrides = dict(kv.split("=", 1) for kv in args.cfg_options)
     cfg = load_py_config(args.config, overrides)

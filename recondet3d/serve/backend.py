@@ -176,7 +176,15 @@ def create_server(manager: ModelManager, host: str = "127.0.0.1", port: int = 80
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/health":
+            if self.path in ("/", "/dashboard"):
+                html = _dashboard_html(manager)
+                body = html.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/health":
                 self._json({"status": "ok", "model": manager.model_name})
             elif self.path in ("/device-memory", "/gpu-memory"):
                 self._json(manager.device_memory())
@@ -215,6 +223,30 @@ def create_server(manager: ModelManager, host: str = "127.0.0.1", port: int = 80
                 self._json({"error": "not found"}, 404)
 
     return ThreadingHTTPServer((host, port), Handler)
+
+
+def _dashboard_html(manager: ModelManager) -> str:
+    """Status dashboard (reference: backend.py serves a dashboard HTML
+    page with model/task/GPU status)."""
+    mem = manager.device_memory()
+    rows = "".join(
+        f"<tr><td>{tid}</td><td>{t['status']}</td>"
+        f"<td>{time.strftime('%H:%M:%S', time.localtime(t['created']))}</td></tr>"
+        for tid, t in sorted(manager.tasks.items())
+    )
+    in_use = (mem.get("bytes_in_use") or 0) / 2 ** 30
+    limit = (mem.get("bytes_limit") or 0) / 2 ** 30
+    return f"""<!doctype html><html><head><title>recondet3d backend</title>
+<style>body{{font-family:monospace;margin:2em}}table{{border-collapse:collapse}}
+td,th{{border:1px solid #888;padding:4px 10px}}</style></head><body>
+<h2>recondet3d inference backend</h2>
+<p>model: <b>{manager.model_name}</b> &middot; platform: {mem.get('platform', '?')}
+&middot; HBM: {in_use:.2f} / {limit:.2f} GiB</p>
+<p>POST /inference {{"images": [...]}} &middot; GET /status/&lt;id&gt; &middot;
+GET /tasks &middot; GET /device-memory &middot; GET /gallery/manifest</p>
+<h3>tasks ({len(manager.tasks)})</h3>
+<table><tr><th>id</th><th>status</th><th>created</th></tr>{rows}</table>
+</body></html>"""
 
 
 def start_server(model_name: str, cache_dir: str = "ckpts", host: str = "127.0.0.1",
