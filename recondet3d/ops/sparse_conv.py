@@ -91,11 +91,12 @@ def _lookup_rows(active_ids: jnp.ndarray, query_ids: jnp.ndarray, sentinel) -> j
     query. ~10x cheaper than searchsorted on TPU."""
     N = active_ids.shape[0]
     Q = query_ids.shape[0]
-    # key = id * 2 + tag (tag 0 = active, 1 = query); ids fit int32? the
-    # grid can reach ~85M * batch -> use int64 keys to be safe
-    ids_all = jnp.concatenate([active_ids, query_ids]).astype(jnp.int64)
+    # key = id * 2 + tag (tag 0 = active, 1 = query). int32 keys require
+    # batch * grid_cells < 2^30 (~85M-cell nuScenes grid -> batch <= 12);
+    # larger meshes shard the batch before this op anyway.
+    ids_all = jnp.concatenate([active_ids, query_ids]).astype(jnp.int32)
     tag = jnp.concatenate(
-        [jnp.zeros((N,), jnp.int64), jnp.ones((Q,), jnp.int64)]
+        [jnp.zeros((N,), jnp.int32), jnp.ones((Q,), jnp.int32)]
     )
     key = ids_all * 2 + tag
     order = jnp.argsort(key)
