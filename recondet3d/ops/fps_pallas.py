@@ -34,11 +34,13 @@ _LANES = 128
 _BLOCK_ROWS = 512
 
 
-def _fps_kernel(pts_hbm, dist_hbm, idx_ref, pts_ref, dist_ref, last_ref, sem,
-                *, rows):
-    """Grid step i selects point i. The per-step passes run in static row
+def _fps_kernel(pts_hbm, dist_hbm, idx_ref, pts_ref, dist_ref, last_ref,
+                coord_ref, sem, *, rows):
+    """Grid step i selects point i. The per-step pass runs in static row
     blocks so live temporaries stay ~0.25 MB next to the ~14 MB resident
-    scratch."""
+    scratch. The selected point's coordinates are extracted IN the same
+    distance-update pass (carried in SMEM), so each step is one fused
+    sweep over the points instead of two."""
     i = pl.program_id(0)
     big = jnp.int32(rows * _LANES)
     n_blocks = rows // _BLOCK_ROWS
@@ -59,30 +61,37 @@ def _fps_kernel(pts_hbm, dist_hbm, idx_ref, pts_ref, dist_ref, last_ref, sem,
         cp2.wait()
 
         def first_body(b, acc):
+            first, fx, fy, fz = acc
             sl = pl.ds(b * _BLOCK_ROWS, _BLOCK_ROWS)
             v = dist_ref[sl, :] > -jnp.inf
-            return jnp.minimum(acc, jnp.min(jnp.where(v, block_iota(b), big)))
+            bi = jnp.min(jnp.where(v, block_iota(b), big))
+            take = bi < first
+            sel = (block_iota(b) == bi).astype(jnp.float32)
+            bx = jnp.sum(pts_ref[0, sl, :] * sel)
+            by = jnp.sum(pts_ref[1, sl, :] * sel)
+            bz = jnp.sum(pts_ref[2, sl, :] * sel)
+            return (
+                jnp.where(take, bi, first),
+                jnp.where(take, bx, fx),
+                jnp.where(take, by, fy),
+                jnp.where(take, bz, fz),
+            )
 
-        first = jax.lax.fori_loop(0, n_blocks, first_body, big)
+        first, fx, fy, fz = jax.lax.fori_loop(
+            0, n_blocks, first_body,
+            (big, jnp.float32(0), jnp.float32(0), jnp.float32(0)),
+        )
         idx_ref[:] = jnp.where(kidx == 0, first, 0)
         last_ref[0] = first
+        coord_ref[0] = fx
+        coord_ref[1] = fy
+        coord_ref[2] = fz
 
     @pl.when(i > 0)
     def _():
-        last = last_ref[0]
-
-        def extract(b, acc):
-            sl = pl.ds(b * _BLOCK_ROWS, _BLOCK_ROWS)
-            sel = (block_iota(b) == last).astype(jnp.float32)
-            return (
-                acc[0] + jnp.sum(pts_ref[0, sl, :] * sel),
-                acc[1] + jnp.sum(pts_ref[1, sl, :] * sel),
-                acc[2] + jnp.sum(pts_ref[2, sl, :] * sel),
-            )
-
-        px, py, pz = jax.lax.fori_loop(
-            0, n_blocks, extract, (jnp.float32(0), jnp.float32(0), jnp.float32(0))
-        )
+        px = coord_ref[0]
+        py = coord_ref[1]
+        pz = coord_ref[2]
 
         def update(b, acc):
             best, best_idx = acc
@@ -97,11 +106,18 @@ def _fps_kernel(pts_hbm, dist_hbm, idx_ref, pts_ref, dist_ref, last_ref, sem,
             take = m > best
             return jnp.where(take, m, best), jnp.where(take, bidx, best_idx)
 
-        _, nxt = jax.lax.fori_loop(
-            0, n_blocks, update, (-jnp.inf, big)
-        )
+        _, nxt = jax.lax.fori_loop(0, n_blocks, update, (-jnp.inf, big))
         idx_ref[:] = jnp.where(kidx == i, nxt, idx_ref[:])
         last_ref[0] = nxt
+
+        # extract the selected coords from just its block (dynamic sublane
+        # start, provably a multiple of _BLOCK_ROWS)
+        blk = nxt // (_BLOCK_ROWS * _LANES)
+        start = pl.multiple_of(blk * _BLOCK_ROWS, _BLOCK_ROWS)
+        sel = (block_iota(blk) == nxt).astype(jnp.float32)
+        coord_ref[0] = jnp.sum(pts_ref[0, pl.ds(start, _BLOCK_ROWS), :] * sel)
+        coord_ref[1] = jnp.sum(pts_ref[1, pl.ds(start, _BLOCK_ROWS), :] * sel)
+        coord_ref[2] = jnp.sum(pts_ref[2, pl.ds(start, _BLOCK_ROWS), :] * sel)
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
@@ -144,6 +160,7 @@ def furthest_point_sample_pallas(
             pltpu.VMEM((3, rows, _LANES), jnp.float32),
             pltpu.VMEM((rows, _LANES), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((3,), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
