@@ -27,9 +27,15 @@ def main(argv=None):
         )
         print(f"wrote {train}\nwrote {val}")
         return 0
+    if args.dataset == "kitti":
+        from recondet3d.data.kitti.converter import create_kitti_infos
+
+        for p in create_kitti_infos(args.root_path, info_prefix=args.extra_tag):
+            print(f"wrote {p}")
+        return 0
     raise NotImplementedError(
-        f"{args.dataset} conversion is not implemented yet; the ResDet3D "
-        "pipeline runs on nuScenes (see recondet3d/data/nuscenes)"
+        f"{args.dataset} conversion is not implemented yet; nuScenes and "
+        "KITTI are supported (see recondet3d/data/)"
     )
 
 
