@@ -14,9 +14,12 @@ def main(argv=None):
                                        "scannet", "s3dis", "sunrgbd"])
     p.add_argument("--root-path", required=True)
     p.add_argument("--version", default="v1.0-mini")
-    p.add_argument("--extra-tag", default="nuscenes")
+    p.add_argument("--extra-tag", default=None,
+                   help="info filename prefix (defaults to the dataset name)")
     p.add_argument("--max-sweeps", type=int, default=10)
     args = p.parse_args(argv)
+    if args.extra_tag is None:
+        args.extra_tag = args.dataset
 
     if args.dataset == "nuscenes":
         from recondet3d.data.nuscenes import create_nuscenes_infos
@@ -33,9 +36,29 @@ def main(argv=None):
         for p in create_kitti_infos(args.root_path, info_prefix=args.extra_tag):
             print(f"wrote {p}")
         return 0
+    if args.dataset == "lyft":
+        from recondet3d.data.lyft import create_lyft_infos
+
+        version = args.version if "v1.01" in args.version else "v1.01-train"
+        for p in create_lyft_infos(
+            args.root_path, info_prefix=args.extra_tag,
+            version=version, max_sweeps=args.max_sweeps,
+        ):
+            print(f"wrote {p}")
+        return 0
+    if args.dataset in ("scannet", "s3dis", "sunrgbd"):
+        from recondet3d.data.indoor import create_indoor_infos
+
+        for p in create_indoor_infos(
+            args.dataset, args.root_path, info_prefix=args.extra_tag
+        ):
+            print(f"wrote {p}")
+        return 0
     raise NotImplementedError(
-        f"{args.dataset} conversion is not implemented yet; nuScenes and "
-        "KITTI are supported (see recondet3d/data/)"
+        f"{args.dataset} conversion needs the waymo-open-dataset TFRecord "
+        "reader, which is not available in this environment; nuScenes, "
+        "KITTI, Lyft, ScanNet, S3DIS and SUN RGB-D are supported "
+        "(see recondet3d/data/)"
     )
 
 

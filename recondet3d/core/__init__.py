@@ -21,3 +21,12 @@ from recondet3d.core.registry import (
     Registry,
     VOXEL_ENCODERS,
 )
+from recondet3d.core.box3d import (
+    Box3DMode,
+    CameraBoxes3D,
+    DepthBoxes3D,
+    LiDARBoxes3D,
+    convert_box_mode,
+    limit_period,
+)
+from recondet3d.core.post_processing import box3d_multiclass_nms, xywhr2xyxyr

@@ -71,12 +71,16 @@ def ball_query_downsample(
 
     With ``compact=True`` the output buffer shrinks to the static bound
     anchor_points * (sample_num + 1) (exact — the union cannot exceed it),
-    which roughly halves the cost of a following FPS at nuScenes scales."""
+    which roughly halves the cost of a following FPS at nuScenes scales.
+
+    ``points`` may carry extra channels (e.g. xyzrgb); geometry uses the
+    first 3 and the extras ride along through every selection."""
     N = points.shape[0]
-    anchor_idx = furthest_point_sample(points, anchor_points, valid)
-    anchors = points[anchor_idx]
+    xyz = points[:, :3]
+    anchor_idx = furthest_point_sample(xyz, anchor_points, valid)
+    anchors = xyz[anchor_idx]
     nbr = ball_query(
-        min_radius, max_radius, sample_num, points, anchors, points_valid=valid
+        min_radius, max_radius, sample_num, xyz, anchors, points_valid=valid
     )  # (A, S)
     sel = jnp.zeros((N,), bool)
     sel = sel.at[nbr.reshape(-1)].set(True)
@@ -94,8 +98,8 @@ def ball_query_downsample(
 
 def fps_downsample(points, valid, *, num_points: int):
     """FPS cap to num_points (reference: FPSDownsample:209). Returns
-    (num_points, 3) + mask; passthrough-compaction when already small."""
-    idx = furthest_point_sample(points, num_points, valid)
+    (num_points, C) + mask; passthrough-compaction when already small."""
+    idx = furthest_point_sample(points[:, :3], num_points, valid)
     fps_pts = points[idx]
     comp_pts, comp_valid = compact_points(points, valid, num_points)
     big = jnp.sum(valid) > num_points

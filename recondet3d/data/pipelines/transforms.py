@@ -336,6 +336,132 @@ class PointShuffle:
 
 
 @PIPELINES.register()
+class ImageAug3D:
+    """Per-view resize/crop/flip/rotate with img_aug_matrix bookkeeping
+    (reference: transform_3d.py:21-123 ImageAug3D — BEVFusion-style image
+    augmentation; the 3x3 augmentation matrices let heads unproject
+    through the augmented images)."""
+
+    def __init__(self, final_dim=(256, 704), resize_lim=(0.38, 0.55),
+                 bot_pct_lim=(0.0, 0.0), rot_lim=(0.0, 0.0), rand_flip=False,
+                 is_train=True, seed=None):
+        self.final_dim = final_dim
+        self.resize_lim = resize_lim
+        self.bot_pct_lim = bot_pct_lim
+        self.rot_lim = rot_lim
+        self.rand_flip = rand_flip
+        self.is_train = is_train
+        self.rng = np.random.default_rng(seed)
+
+    def _sample(self, H, W):
+        fH, fW = self.final_dim
+        if self.is_train:
+            resize = self.rng.uniform(*self.resize_lim)
+            newW, newH = int(W * resize), int(H * resize)
+            crop_h = int((1 - self.rng.uniform(*self.bot_pct_lim)) * newH) - fH
+            crop_w = int(self.rng.uniform(0, max(0, newW - fW)))
+            flip = self.rand_flip and self.rng.random() < 0.5
+            rot = self.rng.uniform(*self.rot_lim)
+        else:
+            resize = np.mean(self.resize_lim)
+            newW, newH = int(W * resize), int(H * resize)
+            crop_h = int((1 - np.mean(self.bot_pct_lim)) * newH) - fH
+            crop_w = int(max(0, newW - fW) / 2)
+            flip, rot = False, 0.0
+        crop = (crop_w, max(crop_h, 0), crop_w + fW, max(crop_h, 0) + fH)
+        return resize, crop, flip, rot
+
+    def __call__(self, results):
+        import cv2
+
+        fH, fW = self.final_dim
+        out_imgs, mats = [], []
+        for img in results["img"]:
+            H, W = img.shape[:2]
+            resize, crop, flip, rot = self._sample(H, W)
+            im = cv2.resize(img, (int(W * resize), int(H * resize)))
+            im = im[crop[1]:crop[3], crop[0]:crop[2]]
+            pad_h, pad_w = fH - im.shape[0], fW - im.shape[1]
+            if pad_h > 0 or pad_w > 0:
+                im = np.pad(im, ((0, max(pad_h, 0)), (0, max(pad_w, 0)), (0, 0)))
+            im = im[:fH, :fW]
+            if flip:
+                im = im[:, ::-1]
+            if rot:
+                M = cv2.getRotationMatrix2D((fW / 2, fH / 2), rot, 1.0)
+                im = cv2.warpAffine(im, M, (fW, fH))
+            out_imgs.append(im)
+            A = np.eye(3)
+            A[0, 0] = A[1, 1] = resize
+            A[0, 2] -= crop[0]
+            A[1, 2] -= crop[1]
+            if flip:
+                F = np.array([[-1, 0, fW], [0, 1, 0], [0, 0, 1.0]])
+                A = F @ A
+            if rot:
+                th = -rot * np.pi / 180
+                c, s = np.cos(th), np.sin(th)
+                T1 = np.array([[1, 0, -fW / 2], [0, 1, -fH / 2], [0, 0, 1.0]])
+                R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+                A = np.linalg.inv(T1) @ R @ T1 @ A
+            mats.append(A)
+        results["img"] = out_imgs
+        results["img_aug_matrix"] = mats
+        results["img_shape"] = [i.shape for i in out_imgs]
+        return results
+
+
+@PIPELINES.register()
+class MyResize:
+    """Keep-ratio multi-view resize with lidar2img rescale
+    (reference: transform_3d.py:421-700 MyResize, the essential path)."""
+
+    def __init__(self, img_scale=None, keep_ratio=True):
+        self.img_scale = img_scale
+        self.keep_ratio = keep_ratio
+
+    def __call__(self, results):
+        import cv2
+
+        tw, th = self.img_scale
+        out, l2i = [], []
+        for i, img in enumerate(results["img"]):
+            h, w = img.shape[:2]
+            if self.keep_ratio:
+                s = min(tw / w, th / h)
+                nw, nh = int(w * s + 0.5), int(h * s + 0.5)
+            else:
+                nw, nh = tw, th
+            out.append(cv2.resize(img, (nw, nh)))
+            sx, sy = nw / w, nh / h
+            S = np.eye(4)
+            S[0, 0], S[1, 1] = sx, sy
+            if "lidar2img" in results:
+                l2i.append(S @ results["lidar2img"][i])
+        results["img"] = out
+        if l2i:
+            results["lidar2img"] = l2i
+        results["img_shape"] = [i.shape for i in out]
+        results["scale_factor"] = np.array([sx, sy, sx, sy], np.float32)
+        return results
+
+
+@PIPELINES.register()
+class MyNormalize(NormalizeMultiviewImage):
+    """(reference: transform_3d.py:701 — same math as NormalizeMultiview)."""
+
+
+@PIPELINES.register()
+class MyPad(PadMultiViewImage):
+    """(reference: transform_3d.py:739 — same behavior as PadMultiView)."""
+
+
+@PIPELINES.register()
+class MyFlip3D(RandomFlip3D):
+    """(reference: transform_3d.py:806 — flip points/boxes + record flags)."""
+
+
+@PIPELINES.register()
 class DefaultFormatBundle3D:
     """Stack multi-view images to (N, H, W, 3) arrays (our format; the
     reference stacks channel-first DataContainers)."""

@@ -53,9 +53,15 @@ class ReconstructionBackbone(nn.Module):
     num_points: int = 40000
     gt_num_points: int = 40000
 
+    @property
+    def use_color(self) -> bool:
+        return bool(self.refinement is not None and self.refinement.use_color)
+
     def predict_points(self, img, cam2lidar_rts):
-        """img (B, N, H, W, 3) raw RGB; cam2lidar_rts (B, N, 4, 4) row-vector
-        convention. Returns (points (B, num_points, 3), valid, da3_out)."""
+        """img (B, N, H, W, 3) raw RGB 0..255; cam2lidar_rts (B, N, 4, 4)
+        row-vector convention. Returns (points (B, num_points, C), valid,
+        da3_out) — C=6 xyzrgb when the refinement uses colors
+        (reference: reconstruction_backbone.py:349-365, 623-628)."""
         B, N, H, W, _ = img.shape
         x, _ = process_tensor_batch(img, process_res=self.process_res)
 
@@ -81,7 +87,21 @@ class ReconstructionBackbone(nn.Module):
         pts_lidar = jnp.einsum("bnhwc,bndc->bnhwd", pts_cam, R) + t[:, :, None, None]
 
         P = N * depth.shape[2] * depth.shape[3]
-        pts = pts_lidar.reshape(B, P, 3)
+        C = 3
+        if self.use_color:
+            # colors sampled from the original images resized to the depth
+            # resolution, scaled to [0, 1]
+            # (reference: reconstruction_backbone.py:349-365)
+            from recondet3d.utils.interpolation import resize_2d
+
+            h, w = depth.shape[2], depth.shape[3]
+            rgb = resize_2d(
+                (img.astype(jnp.float32) / 255.0).reshape(B * N, H, W, 3),
+                (h, w), mode="bilinear", align_corners=False,
+            ).reshape(B, N, h, w, 3)
+            pts_lidar = jnp.concatenate([pts_lidar, rgb], axis=-1)
+            C = 6
+        pts = pts_lidar.reshape(B, P, C)
         msk = valid.reshape(B, P)
 
         def pipeline(p, m):
@@ -103,17 +123,60 @@ class ReconstructionBackbone(nn.Module):
         msk = jnp.stack([o[1] for o in outs])
         return pts, msk, da3_out
 
+    def colorize_gt_points(self, gt_points, gt_valid, img, lidar2img):
+        """Project GT LiDAR points into the multi-view images and sample
+        RGB — first visible camera wins, zeros when not visible
+        (reference: _get_gt_color_points, reconstruction_backbone.py:229-283).
+
+        gt_points (B, M, 3); img (B, N, H, W, 3) raw RGB 0..255;
+        lidar2img (B, N, 4, 4) column-form (proj = pts_h @ L.T).
+        Returns (B, M, 6) xyzrgb. The reference's per-camera python loop
+        becomes one batched einsum + take_along_axis gather."""
+        B, M, _ = gt_points.shape
+        N, H, W = img.shape[1], img.shape[2], img.shape[3]
+        pts_h = jnp.concatenate(
+            [gt_points, jnp.ones((B, M, 1), gt_points.dtype)], axis=-1
+        )
+        proj = jnp.einsum("bmc,bndc->bnmd", pts_h, lidar2img.astype(jnp.float32))
+        z = proj[..., 2]
+        u = proj[..., 0] / z
+        v = proj[..., 1] / z
+        vis = (z > 0) & (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1)  # (B,N,M)
+        ui = jnp.clip(u.astype(jnp.int32), 0, W - 1)
+        vi = jnp.clip(v.astype(jnp.int32), 0, H - 1)
+        flat = (img.astype(jnp.float32) / 255.0).reshape(B, N, H * W, 3)
+        cols = jnp.take_along_axis(
+            flat, (vi * W + ui)[..., None], axis=2
+        )  # (B, N, M, 3)
+        first = jnp.argmax(vis, axis=1)  # (B, M) first visible cam
+        picked = jnp.take_along_axis(
+            cols, first[:, None, :, None], axis=1
+        )[:, 0]  # (B, M, 3)
+        filled = jnp.any(vis, axis=1) & (
+            gt_valid if gt_valid is not None else True
+        )
+        rgb = jnp.where(filled[..., None], picked, 0.0)
+        return jnp.concatenate([gt_points, rgb], axis=-1)
+
     def __call__(
         self,
         img: jnp.ndarray,
         cam2lidar_rts: jnp.ndarray,
         gt_points: Optional[jnp.ndarray] = None,
         gt_valid: Optional[jnp.ndarray] = None,
+        lidar2img: Optional[jnp.ndarray] = None,
         return_loss: bool = False,
         train: bool = False,
     ):
         """Returns (pseudo_points, valid, losses, aux)."""
         pts, msk, da3_out = self.predict_points(img, cam2lidar_rts)
+        if (
+            self.use_color
+            and gt_points is not None
+            and gt_points.shape[-1] == 3
+            and lidar2img is not None
+        ):
+            gt_points = self.colorize_gt_points(gt_points, gt_valid, img, lidar2img)
         losses: Dict[str, jnp.ndarray] = {}
         aux: Dict[str, Any] = {"da3": da3_out}
         if self.refinement is not None:

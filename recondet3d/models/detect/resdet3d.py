@@ -29,23 +29,25 @@ class ResDet3D(nn.Module):
 
     def __call__(self, img, cam2lidar_rts, gt_points=None, gt_valid=None,
                  gt_bboxes_3d=None, gt_labels_3d=None, gt_bboxes_valid=None,
-                 return_loss: bool = False, train: bool = False):
+                 lidar2img=None, return_loss: bool = False, train: bool = False):
         if return_loss:
             return self.forward_train(
                 img, cam2lidar_rts, gt_points, gt_valid,
                 gt_bboxes_3d, gt_labels_3d, gt_bboxes_valid, train,
+                lidar2img=lidar2img,
             )
         return self.simple_test(img, cam2lidar_rts)
 
     def forward_train(self, img, cam2lidar_rts, gt_points, gt_valid=None,
                       gt_bboxes_3d=None, gt_labels_3d=None,
-                      gt_bboxes_valid=None, train=True):
+                      gt_bboxes_valid=None, train=True, lidar2img=None):
         """Returns losses dict with 'reconstruction_' prefixed keys
         (reference: ResDet3D.py:131-162) plus detection losses when a head
-        + box targets are present."""
+        + box targets are present. ``lidar2img`` enables GT colorization
+        when the refinement uses colors (reference: :644-655)."""
         pts, msk, r_losses, aux = self.reconstruction_backbone(
             img, cam2lidar_rts, gt_points=gt_points, gt_valid=gt_valid,
-            return_loss=True, train=train,
+            lidar2img=lidar2img, return_loss=True, train=train,
         )
         losses = {f"reconstruction_{k}": v for k, v in r_losses.items()}
         if self.pts_bbox_head is not None and gt_bboxes_3d is not None:

@@ -27,6 +27,7 @@ __all__ = [
     "nms_bev",
     "nms_normal_bev",
     "boxes_iou_3d",
+    "nearest_bev_iou",
     "circle_nms",
     "aligned_3d_nms",
 ]
@@ -178,6 +179,42 @@ def nms_normal_bev(boxes: jnp.ndarray, scores: jnp.ndarray, thresh: float) -> jn
     area = ((x1 - x0) * (y1 - y0))
     iou = inter / jnp.clip(area[:, None] + area[None, :] - inter, 1e-8, None)
     return _greedy_nms_from_iou(iou, scores, thresh)
+
+
+def nearest_bev_iou(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """Axis-aligned IoU on rotation-snapped BEV boxes, (N, M).
+
+    boxes: (N, 7+) [x, y, z, dx, dy, dz, yaw, ...]. Each box's (dx, dy)
+    are swapped when its yaw is nearer +-pi/2 than 0, then standard AABB
+    IoU (reference: mmdet3d/core/bbox/structures/lidar_box3d.py
+    nearest_bev + iou_calculators BboxOverlapsNearest3D — the cheap IoU
+    used by anchor target assignment)."""
+
+    def _aabb(b):
+        yaw = b[:, 6]
+        rot = jnp.abs(yaw - jnp.floor(yaw / jnp.pi + 0.5) * jnp.pi)
+        swap = rot > jnp.pi / 4
+        dx = jnp.where(swap, b[:, 4], b[:, 3])
+        dy = jnp.where(swap, b[:, 3], b[:, 4])
+        return (
+            b[:, 0] - dx / 2, b[:, 1] - dy / 2,
+            b[:, 0] + dx / 2, b[:, 1] + dy / 2,
+        )
+
+    ax0, ay0, ax1, ay1 = _aabb(boxes_a)
+    bx0, by0, bx1, by1 = _aabb(boxes_b)
+    ix = jnp.clip(
+        jnp.minimum(ax1[:, None], bx1[None, :])
+        - jnp.maximum(ax0[:, None], bx0[None, :]), 0, None,
+    )
+    iy = jnp.clip(
+        jnp.minimum(ay1[:, None], by1[None, :])
+        - jnp.maximum(ay0[:, None], by0[None, :]), 0, None,
+    )
+    inter = ix * iy
+    area_a = (ax1 - ax0) * (ay1 - ay0)
+    area_b = (bx1 - bx0) * (by1 - by0)
+    return inter / jnp.clip(area_a[:, None] + area_b[None, :] - inter, 1e-8, None)
 
 
 @functools.partial(jax.jit, static_argnames=("thresh", "post_max_size"))

@@ -59,7 +59,13 @@ def build_optimizer(
     cyclic_momentum: bool = True,
     momentum_target_ratio=(0.8947368421052632, 1.0),
     base_momentum: float = 0.9,
+    frozen_patterns=("da3",),
 ):
+    """frozen_patterns: param subtrees whose path contains any of these
+    names are excluded from the optimizer entirely (no updates, no moment
+    buffers — the reference freezes the DA3 backbone, freeze_da3=True in
+    ResDet3D_nuscenes_mini_config.py; gradients are already stopped, this
+    avoids ~3x the backbone's size in dead AdamW state)."""
     lr_sched = cyclic_schedule(lr, total_steps) if cyclic_lr else lr
     if cyclic_momentum:
         b1_sched = cyclic_schedule(
@@ -73,6 +79,23 @@ def build_optimizer(
             learning_rate=learning_rate, b1=b1, weight_decay=weight_decay
         )
     )(learning_rate=lr_sched, b1=b1_sched)
+
+    if frozen_patterns:
+        import jax
+
+        def trainable_mask(params):
+            def one(path, _):
+                names = {str(k.key) for k in path}
+                return not any(p in names for p in frozen_patterns)
+
+            return jax.tree_util.tree_map_with_path(one, params)
+
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()},
+            lambda params: jax.tree_util.tree_map(
+                lambda t: "train" if t else "freeze", trainable_mask(params)
+            ),
+        )
 
     if grad_clip is not None:
         opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)

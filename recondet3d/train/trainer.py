@@ -98,7 +98,12 @@ class Trainer:
         self._writer = None
 
     def init_state(self, rng, example_batch) -> TrainState:
-        variables = self.model.init(rng, return_loss=True, train=False, **example_batch)
+        # jit the init: eager flax init dispatches thousands of tiny ops
+        # (minutes over a tunneled backend); one compiled program instead
+        init_fn = jax.jit(
+            lambda r, b: self.model.init(r, return_loss=True, train=False, **b)
+        )
+        variables = init_fn(rng, example_batch)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         # tensor-parallel parameter layout over the 'model' axis (no-op on a

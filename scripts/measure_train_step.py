@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Measure the production train step on the real chip: full ResDet3D
+(frozen da3-large depth -> unprojection -> pipeline -> refinement) with
+occupancy loss + AdamW-on-trainables, one jitted step.
+
+Usage: python scripts/measure_train_step.py [iters]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+
+import jax.numpy as jnp
+
+import bench
+from recondet3d.parallel.mesh import make_mesh, shard_batch
+from recondet3d.train.trainer import Trainer
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    model = bench.build_pipeline(jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    img, c2l = bench.make_inputs(rng)
+    gt = rng.uniform(-50, 50, (1, 40000, 3)).astype(np.float32)
+    gt[..., 2] = rng.uniform(-4, 2, (1, 40000))
+    batch = dict(
+        img=jnp.asarray(img),
+        cam2lidar_rts=jnp.asarray(c2l),
+        gt_points=jnp.asarray(gt),
+    )
+
+    trainer = Trainer(model=model, total_steps=1000, mesh=make_mesh())
+    t0 = time.time()
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    jax.block_until_ready(state.params)
+    print(f"init_state {time.time()-t0:.1f}s", file=sys.stderr)
+
+    n_opt = sum(
+        x.size for x in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(x, "size")
+    )
+    n_par = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"params {n_par/1e6:.1f}M, opt-state {n_opt/1e6:.1f}M elements",
+          file=sys.stderr)
+
+    step = trainer.compile()
+    sb = shard_batch(trainer.mesh, batch)
+
+    # two warmup steps: the first executions pay compile + tunnel transfer /
+    # donation setup (measured ~60s + ~50s), steady state follows
+    for w in range(2):
+        t0 = time.time()
+        state, metrics = step(state, sb)
+        loss = float(metrics["loss"])  # sync
+        print(f"warmup {w}: {time.time()-t0:.1f}s loss={loss:.4f}",
+              file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = step(state, sb)
+        loss = float(metrics["loss"])  # device_get sync each step
+    dt = (time.time() - t0) / iters
+    print(f"train step: {dt*1000:.1f} ms/step  loss={loss:.4f} "
+          f"grad_norm={float(metrics['grad_norm']):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -180,3 +180,79 @@ def test_resdet3d_end_to_end():
     # test path returns pseudo points
     test_out = model.apply(variables, jnp.asarray(img), jnp.asarray(c2l))
     assert test_out["pseudo_points"].shape == (1, 512, 3)
+
+
+def test_resdet3d_use_color():
+    """use_color path: pseudo points carry rgb, GT points get colorized via
+    lidar2img (reference: reconstruction_backbone.py:229-283, 644-655)."""
+    da3 = build_da3("da3-small", dtype=jnp.float32, attn_impl="xla")
+    refinement = SparseRefinement(
+        point_cloud_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 2.0),
+        voxel_size=(0.1, 0.1, 0.1),
+        max_voxels=2048,
+        occ_feature_shape=(20, 20, 8),
+        occ_max_voxels=512,
+        sparse_shape=(40, 160, 160),
+        unet_channels=(32, 48, 64, 96),
+        stage_caps=(2048, 1024, 512, 256),
+        encoder_out_channels=16,
+        use_color=True,
+    )
+    backbone = ReconstructionBackbone(
+        da3=da3,
+        refinement=refinement,
+        process_res=56,
+        filter_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 2.0),
+        bq_anchor_points=256,
+        num_points=512,
+        max_depth=20.0,
+    )
+    model = ResDet3D(reconstruction_backbone=backbone)
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 255, (1, 2, 56, 84, 3)).astype(np.float32)
+    c2l = np.broadcast_to(np.eye(4, dtype=np.float32), (1, 2, 4, 4)).copy()
+    gt = rng.uniform(-7, 7, (1, 300, 3)).astype(np.float32)
+    gt[..., 2] = rng.uniform(-1.8, 1.8, (1, 300))
+    # simple pinhole lidar2img: z forward
+    K = np.array([[40.0, 0, 42, 0], [0, 40.0, 28, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+                 np.float32)
+    l2i = np.broadcast_to(K, (1, 2, 4, 4)).copy()
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(c2l),
+        gt_points=jnp.asarray(gt), lidar2img=jnp.asarray(l2i), return_loss=True,
+    )
+    losses, outs = model.apply(
+        variables, jnp.asarray(img), jnp.asarray(c2l),
+        gt_points=jnp.asarray(gt), lidar2img=jnp.asarray(l2i), return_loss=True,
+    )
+    assert np.isfinite(float(losses["reconstruction_loss_occupancy"]))
+    # pseudo points are xyzrgb with colors in [0, 1]
+    pts = np.asarray(outs["pseudo_points"])
+    assert pts.shape == (1, 512, 6)
+    msk = np.asarray(outs["pseudo_valid"])[0]
+    assert pts[0][msk][:, 3:].min() >= 0.0 and pts[0][msk][:, 3:].max() <= 1.0
+
+
+def test_colorize_gt_points_projection():
+    """Points in front of the camera get the pixel color; behind get zeros."""
+    backbone = ReconstructionBackbone(
+        da3=build_da3("da3-small", dtype=jnp.float32, attn_impl="xla"),
+        refinement=SparseRefinement(use_color=True),
+    )
+    H, W = 8, 12
+    img = np.zeros((1, 1, H, W, 3), np.float32)
+    img[0, 0, 4, 6] = [255.0, 128.0, 0.0]
+    # identity projection with principal point at (6, 4), unit focal * z=1
+    l2i = np.eye(4, dtype=np.float32)[None, None]
+    l2i[0, 0, 0, 2] = 6.0
+    l2i[0, 0, 1, 2] = 4.0
+    gt = np.array([[[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]]], np.float32)
+    out = backbone.colorize_gt_points(
+        jnp.asarray(gt), jnp.asarray(np.ones((1, 2), bool)),
+        jnp.asarray(img), jnp.asarray(l2i),
+    )
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[0, 0, 3:], [1.0, 128 / 255.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(out[0, 1, 3:], [0.0, 0.0, 0.0])

@@ -75,6 +75,22 @@ def test_geometry_transforms(sample):
     assert flipped["pcd_horizontal_flip"]
 
 
+def test_image_aug3d_and_my_resize(sample):
+    from recondet3d.data.pipelines.transforms import ImageAug3D, MyResize
+
+    data = LoadMultiViewImageFromFiles(to_float32=True)(dict(sample))
+    aug = ImageAug3D(final_dim=(48, 80), resize_lim=(0.6, 0.6),
+                     rand_flip=True, is_train=True, seed=0)(data)
+    assert all(i.shape[:2] == (48, 80) for i in aug["img"])
+    assert len(aug["img_aug_matrix"]) == 2
+    A = aug["img_aug_matrix"][0]
+    assert A.shape == (3, 3) and abs(abs(A[0, 0]) - 0.6) < 1e-6
+
+    data2 = LoadMultiViewImageFromFiles(to_float32=True)(dict(sample))
+    r = MyResize(img_scale=(80, 45))(data2)
+    assert r["img"][0].shape[:2] == (45, 80)
+
+
 def test_image_transforms(sample):
     data = LoadMultiViewImageFromFiles(to_float32=True)(dict(sample))
     data = ScaleImageMultiViewImage(scales=0.5)(data)
