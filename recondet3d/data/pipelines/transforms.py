@@ -38,6 +38,10 @@ __all__ = [
     "PointShuffle",
     "DefaultFormatBundle3D",
     "Collect3D",
+    "LoadPointsFromMultiSweeps",
+    "ObjectNoise",
+    "LoadMultiViewImageFromFilesWaymo",
+    "MultiScaleFlipAug3D",
 ]
 
 
@@ -270,9 +274,21 @@ class RandomFlip3D:
         self.rng = np.random.default_rng(seed)
 
     def __call__(self, results):
-        fh = self.rng.random() < self.ph
-        fv = self.rng.random() < self.pv
-        pts = results["points"]
+        # TTA (MultiScaleFlipAug3D) pre-sets the flip decisions; only
+        # randomize when absent (reference: RandomFlip3D.__call__ — 'if
+        # pcd_horizontal_flip not in input_dict' guards)
+        if "pcd_horizontal_flip" in results:
+            fh = bool(results["pcd_horizontal_flip"])
+        else:
+            fh = self.rng.random() < self.ph
+        if "pcd_vertical_flip" in results:
+            fv = bool(results["pcd_vertical_flip"])
+        else:
+            fv = self.rng.random() < self.pv
+        pts = np.array(results["points"])  # copy: TTA branches share input
+        if (fh or fv) and "gt_bboxes_3d" in results and len(results["gt_bboxes_3d"]):
+            b = results["gt_bboxes_3d"]
+            results["gt_bboxes_3d"] = type(b)(b.tensor.copy())
         if fh:
             pts[:, 1] = -pts[:, 1]
             if "gt_bboxes_3d" in results and len(results["gt_bboxes_3d"]):
@@ -485,3 +501,257 @@ class Collect3D:
         out = {k: results[k] for k in self.keys if k in results}
         out["img_metas"] = {k: results[k] for k in self.meta_keys if k in results}
         return out
+
+
+@PIPELINES.register()
+class LoadPointsFromMultiSweeps:
+    """Aggregate previous lidar sweeps into the key frame
+    (reference: mmdet3d/datasets/pipelines/loading.py
+    LoadPointsFromMultiSweeps:99-234 — key frame time channel zeroed,
+    sweeps transformed by sensor2lidar R/t, dt in seconds appended at
+    column 4, optional close-point removal, random sweep choice in train /
+    nearest-N in test)."""
+
+    def __init__(self, sweeps_num=10, load_dim=5, use_dim=(0, 1, 2, 4),
+                 pad_empty_sweeps=False, remove_close=False, test_mode=False,
+                 seed=None):
+        self.sweeps_num = sweeps_num
+        self.load_dim = load_dim
+        self.use_dim = list(use_dim)
+        self.pad_empty_sweeps = pad_empty_sweeps
+        self.remove_close = remove_close
+        self.test_mode = test_mode
+        self.rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def _remove_close(points, radius=1.0):
+        keep = ~(
+            (np.abs(points[:, 0]) < radius) & (np.abs(points[:, 1]) < radius)
+        )
+        return points[keep]
+
+    def __call__(self, results):
+        points = np.asarray(results["points"])
+        if points.shape[1] < 5:
+            points = np.concatenate(
+                [points, np.zeros((len(points), 5 - points.shape[1]),
+                                  points.dtype)], axis=1,
+            )
+        points[:, 4] = 0
+        sweep_points = [points]
+        ts = results["timestamp"]
+        sweeps = results.get("sweeps", [])
+        if self.pad_empty_sweeps and not sweeps:
+            for _ in range(self.sweeps_num):
+                sweep_points.append(
+                    self._remove_close(points) if self.remove_close else points
+                )
+        else:
+            if len(sweeps) <= self.sweeps_num:
+                choices = np.arange(len(sweeps))
+            elif self.test_mode:
+                choices = np.arange(self.sweeps_num)
+            else:
+                choices = self.rng.choice(
+                    len(sweeps), self.sweeps_num, replace=False
+                )
+            for idx in choices:
+                sweep = sweeps[int(idx)]
+                pts = np.fromfile(
+                    sweep["data_path"], np.float32
+                ).reshape(-1, self.load_dim).copy()
+                if self.remove_close:
+                    pts = self._remove_close(pts)
+                pts[:, :3] = pts[:, :3] @ np.asarray(
+                    sweep["sensor2lidar_rotation"]
+                ).T
+                pts[:, :3] += np.asarray(sweep["sensor2lidar_translation"])
+                pts[:, 4] = ts - sweep["timestamp"] / 1e6
+                sweep_points.append(pts.astype(points.dtype))
+        out = np.concatenate(sweep_points, axis=0)[:, self.use_dim]
+        results["points"] = out
+        return results
+
+
+@PIPELINES.register()
+class ObjectNoise:
+    """Per-object random rotation + translation with box-collision
+    rejection, moving the contained points with the box
+    (reference: transforms_3d.py ObjectNoise:359-411 wrapping the numba
+    noise_per_object_v3_ in box_np_ops; the collision test here is a
+    numpy separating-axis check on the rotated BEV rectangles — this is a
+    host loader transform, so it must not dispatch per-sample device ops)."""
+
+    def __init__(self, translation_std=(0.25, 0.25, 0.25),
+                 global_rot_range=(0.0, 0.0),
+                 rot_range=(-0.15707963267, 0.15707963267),
+                 num_try=100, seed=None):
+        self.translation_std = np.asarray(translation_std)
+        self.rot_range = rot_range
+        self.num_try = num_try
+        self.rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def _points_in_box(points, box):
+        """(P, 3) x (7,) -> (P,) bool; z spans [z, z+dz] (bottom center)."""
+        c, s = np.cos(box[6]), np.sin(box[6])
+        px = points[:, 0] - box[0]
+        py = points[:, 1] - box[1]
+        lx = px * c + py * s
+        ly = -px * s + py * c
+        return (
+            (np.abs(lx) <= box[3] / 2)
+            & (np.abs(ly) <= box[4] / 2)
+            & (points[:, 2] >= box[2])
+            & (points[:, 2] <= box[2] + box[5])
+        )
+
+    def __call__(self, results):
+        boxes = results["gt_bboxes_3d"]
+        arr = boxes.tensor if hasattr(boxes, "tensor") else np.asarray(boxes)
+        points = np.asarray(results["points"])
+        n = len(arr)
+        if n == 0:
+            return results
+        inside = np.stack(
+            [self._points_in_box(points[:, :3], arr[i, :7]) for i in range(n)]
+        )  # (n_boxes, n_points) bool
+        for i in range(n):
+            for _ in range(self.num_try):
+                dt = self.rng.normal(0, self.translation_std)
+                dr = self.rng.uniform(*self.rot_range)
+                cand = arr[i].copy()
+                cand[:3] += dt
+                cand[6] += dr
+                others = np.delete(arr, i, axis=0)
+                if len(others) and self._collides(cand, others):
+                    continue
+                # rotate the object's points about its center, translate
+                m = np.asarray(inside[i]).astype(bool)
+                c, s = np.cos(dr), np.sin(dr)
+                R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+                rel = points[m, :3] - arr[i, :3]
+                points[m, :3] = rel @ R.T + arr[i, :3] + dt
+                arr[i] = cand
+                break
+        results["points"] = points
+        if hasattr(boxes, "tensor"):
+            boxes.tensor = arr
+        else:
+            results["gt_bboxes_3d"] = arr
+        return results
+
+    @staticmethod
+    def _bev_corners(b):
+        """(M, 7) -> (M, 4, 2) rotated BEV rectangle corners."""
+        c, s = np.cos(b[:, 6]), np.sin(b[:, 6])
+        ox = np.stack([b[:, 3], b[:, 3], -b[:, 3], -b[:, 3]], 1) / 2
+        oy = np.stack([-b[:, 4], b[:, 4], b[:, 4], -b[:, 4]], 1) / 2
+        x = b[:, 0:1] + ox * c[:, None] - oy * s[:, None]
+        y = b[:, 1:2] + ox * s[:, None] + oy * c[:, None]
+        return np.stack([x, y], -1)
+
+    @classmethod
+    def _collides(cls, box, others):
+        """Separating-axis test between one rotated BEV rect and M others."""
+        ca = cls._bev_corners(box[None])[0]  # (4, 2)
+        cb = cls._bev_corners(others)  # (M, 4, 2)
+        # candidate axes: edge normals of both rectangles (2 each)
+        def axes(corners):
+            e = np.diff(np.concatenate([corners, corners[..., :1, :]], -2), axis=-2)
+            n = np.stack([-e[..., 1], e[..., 0]], -1)
+            return n[..., :2, :]  # (.., 2, 2) two unique normals
+
+        ax = np.concatenate(
+            [np.broadcast_to(axes(ca), (len(others), 2, 2)), axes(cb)], axis=1
+        )  # (M, 4, 2)
+        pa = np.einsum("mkd,cd->mkc", ax, ca)  # (M, 4, 4)
+        pb = np.einsum("mkd,mcd->mkc", ax, cb)
+        sep = (pa.max(-1) < pb.min(-1)) | (pb.max(-1) < pa.min(-1))
+        return bool((~sep.any(-1)).any())
+
+
+@PIPELINES.register()
+class LoadMultiViewImageFromFilesWaymo:
+    """Waymo variant: pads the two shorter (886-row) side cameras up to
+    img_scale rows with zeros so all 5 views stack
+    (reference: transform_3d.py LoadMultiViewImageFromFilesWaymo:352-415)."""
+
+    def __init__(self, to_float32=False, img_scale=None):
+        self.to_float32 = to_float32
+        self.img_scale = img_scale
+
+    def _pad(self, img):
+        if self.img_scale is not None and img.shape[0] != self.img_scale[0]:
+            pad = np.zeros(
+                (self.img_scale[0] - img.shape[0],) + img.shape[1:], img.dtype
+            )
+            img = np.concatenate([img, pad], axis=0)
+        return img
+
+    def __call__(self, results):
+        import cv2
+
+        imgs = [self._pad(cv2.imread(p)) for p in results["img_filename"]]
+        if self.to_float32:
+            imgs = [i.astype(np.float32) for i in imgs]
+        results["filename"] = results["img_filename"]
+        results["img"] = imgs
+        results["img_shape"] = imgs[0].shape
+        results["ori_shape"] = imgs[0].shape
+        results["pad_shape"] = imgs[0].shape
+        results["img_norm_cfg"] = dict(
+            mean=np.zeros(3, np.float32), std=np.ones(3, np.float32),
+            to_rgb=False,
+        )
+        results["img_fields"] = ["img"]
+        return results
+
+
+@PIPELINES.register()
+class MultiScaleFlipAug3D:
+    """Test-time augmentation wrapper: runs the inner pipeline once per
+    (scale, pts_scale, flip-direction, pcd flips) combination and stacks
+    results per key (reference: mmdet3d/datasets/pipelines/
+    test_time_aug.py MultiScaleFlipAug3D:11-120)."""
+
+    def __init__(self, transforms, img_scale, pts_scale_ratio=1.0,
+                 flip=False, flip_direction="horizontal",
+                 pcd_horizontal_flip=False, pcd_vertical_flip=False):
+        self.transforms = Compose(transforms)
+        self.img_scale = img_scale if isinstance(img_scale, list) else [img_scale]
+        self.pts_scale_ratio = (
+            pts_scale_ratio if isinstance(pts_scale_ratio, list)
+            else [float(pts_scale_ratio)]
+        )
+        self.flip = flip
+        self.flip_direction = (
+            flip_direction if isinstance(flip_direction, list)
+            else [flip_direction]
+        )
+        self.pcd_horizontal_flip = pcd_horizontal_flip
+        self.pcd_vertical_flip = pcd_vertical_flip
+
+    def __call__(self, results):
+        aug_data = []
+        flip_aug = [True] if self.flip else [False]
+        h_aug = [False, True] if self.flip and self.pcd_horizontal_flip else [False]
+        v_aug = [False, True] if self.flip and self.pcd_vertical_flip else [False]
+        for scale in self.img_scale:
+            for pts_scale in self.pts_scale_ratio:
+                for flip in flip_aug:
+                    for h in h_aug:
+                        for v in v_aug:
+                            for direction in self.flip_direction:
+                                r = dict(results)
+                                r["scale"] = scale
+                                r["flip"] = flip
+                                r["pcd_scale_factor"] = pts_scale
+                                r["flip_direction"] = direction
+                                r["pcd_horizontal_flip"] = h
+                                r["pcd_vertical_flip"] = v
+                                data = self.transforms(r)
+                                aug_data.append(data)
+        return {
+            key: [d[key] for d in aug_data] for key in aug_data[0]
+        }

@@ -100,3 +100,74 @@ def test_image_transforms(sample):
     data = PadMultiViewImage(size_divisor=32)(data)
     assert data["img"][0].shape[0] % 32 == 0
     assert data["img"][0].shape[1] % 32 == 0
+
+
+def test_load_points_from_multi_sweeps(sample, tmp_path):
+    from recondet3d.data.pipelines.transforms import (
+        LoadPointsFromFile,
+        LoadPointsFromMultiSweeps,
+    )
+
+    data = LoadPointsFromFile(load_dim=5, use_dim=(0, 1, 2, 3, 4))(dict(sample))
+    n_key = len(data["points"])
+    # synthesize one sweep file: identity transform, 1s older
+    sweep_pts = np.zeros((10, 5), np.float32)
+    sweep_pts[:, 0] = np.arange(10) + 100  # far in x
+    p = tmp_path / "sweep.bin"
+    sweep_pts.tofile(p)
+    data["sweeps"] = [dict(
+        data_path=str(p),
+        sensor2lidar_rotation=np.eye(3),
+        sensor2lidar_translation=np.array([1.0, 0, 0]),
+        timestamp=(data["timestamp"] - 1.0) * 1e6,
+    )]
+    out = LoadPointsFromMultiSweeps(sweeps_num=10)(data)
+    pts = out["points"]
+    assert pts.shape == (n_key + 10, 4)  # use_dim (0,1,2,4)
+    # key frame dt == 0; sweep dt == 1s; sweep translated +1 in x
+    assert pts[:n_key, 3].max() == 0.0
+    np.testing.assert_allclose(pts[n_key:, 3], 1.0, atol=1e-6)
+    np.testing.assert_allclose(pts[n_key:, 0], np.arange(10) + 101)
+
+
+def test_object_noise_moves_points_with_box():
+    from recondet3d.data.pipelines.transforms import ObjectNoise
+
+    rng = np.random.default_rng(0)
+    box = np.array([[5.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.0]])
+    inside = rng.uniform(-0.8, 0.8, (50, 3)) + [5.0, 0.0, 1.0]
+    outside = rng.uniform(-0.5, 0.5, (20, 3)) + [50.0, 50.0, 1.0]
+    pts = np.concatenate([inside, outside]).astype(np.float32)
+    results = dict(points=pts.copy(), gt_bboxes_3d=box.copy())
+    out = ObjectNoise(translation_std=(1.0, 1.0, 0.0), seed=1)(results)
+    new_box = out["gt_bboxes_3d"][0]
+    delta = new_box[:3] - box[0, :3]
+    assert np.abs(delta).max() > 1e-3  # actually moved
+    # inside points moved coherently; outside untouched
+    np.testing.assert_allclose(out["points"][50:], outside, atol=1e-6)
+    moved = out["points"][:50] - inside
+    assert np.abs(moved).max() > 1e-3
+    # distances to box center preserved (rigid motion)
+    d0 = np.linalg.norm(inside[:, :2] - box[0, :2], axis=1)
+    d1 = np.linalg.norm(out["points"][:50, :2] - new_box[:2], axis=1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-4)
+
+
+def test_multi_scale_flip_aug3d(sample):
+    from recondet3d.data.pipelines.transforms import (
+        LoadPointsFromFile,
+        MultiScaleFlipAug3D,
+        RandomFlip3D,
+    )
+
+    data = LoadPointsFromFile(load_dim=5, use_dim=(0, 1, 2))(dict(sample))
+    tta = MultiScaleFlipAug3D(
+        transforms=[RandomFlip3D(sync_2d=False)],
+        img_scale=(1333, 800),
+        flip=True,
+        pcd_horizontal_flip=True,
+    )
+    out = tta(data)
+    assert len(out["points"]) == 2  # no-flip + horizontal flip
+    p0, p1 = out["points"]
+    np.testing.assert_allclose(p1[:, 1], -p0[:, 1], atol=1e-6)
