@@ -7,3 +7,10 @@ from recondet3d.data.indoor.converter import (
     SUNRGBDData,
     create_indoor_infos,
 )
+from recondet3d.data.indoor.dataset import (
+    S3DISDataset,
+    ScanNetDataset,
+    SUNRGBDDataset,
+    average_precision,
+    indoor_eval,
+)

@@ -58,7 +58,16 @@ def _children_map(coarse: SparseTensor, fine: SparseTensor, kernel=3, stride=2,
     sentinel = jnp.int32(fine.batch_size * Z * Y * X)
     cand = jnp.where(ok, cand, sentinel)
     fine_ids = _linear_ids(fine.coords, fine.grid, fine.batch_size)
-    rows = _lookup_rows(fine_ids, cand.reshape(-1), sentinel)
+    n_cells = fine.batch_size * Z * Y * X
+    from recondet3d.ops.sparse_conv import (
+        _DENSE_LOOKUP_MAX_CELLS,
+        _dense_lookup_rows,
+    )
+
+    if n_cells <= _DENSE_LOOKUP_MAX_CELLS:
+        rows = _dense_lookup_rows(fine_ids, cand.reshape(-1), sentinel, n_cells)
+    else:
+        rows = _lookup_rows(fine_ids, cand.reshape(-1), sentinel)
     return rows.reshape(coarse.coords.shape[0], -1)
 
 

@@ -103,3 +103,35 @@ def test_s3dis_converter(tmp_path):
     mn, mx = pts[:50, :3].min(0), pts[:50, :3].max(0)
     np.testing.assert_allclose(a["gt_boxes_upright_depth"][0, 3:6], mx - mn,
                                rtol=1e-6)
+
+
+def test_scannet_dataset_and_indoor_eval(tmp_path):
+    from recondet3d.data.indoor import ScanNetDataset
+
+    root = str(tmp_path)
+    _write_scannet(root)
+    paths = create_indoor_infos("scannet", root)
+    ds = ScanNetDataset(ann_file=paths[0], data_root=root)
+    assert len(ds) == 1
+    info = ds.get_data_info(0)
+    assert os.path.exists(info["pts_filename"])
+    ann = ds.get_ann_info(0)
+    assert len(ann["gt_bboxes_3d"]) == 2
+
+    # perfect predictions -> AP 1.0 at both thresholds
+    results = [dict(
+        boxes_3d=ann["gt_bboxes_3d"],
+        labels_3d=ann["gt_labels_3d"],
+        scores_3d=np.full(len(ann["gt_labels_3d"]), 0.9),
+    )]
+    m = ds.evaluate(results)
+    assert m["mAP_0.25"] == pytest.approx(1.0)
+    assert m["mAP_0.50"] == pytest.approx(1.0)
+
+    # shifted predictions -> AP drops at 0.5
+    shifted = ann["gt_bboxes_3d"].copy()
+    shifted[:, 0] += 0.45  # dims are 1.0 cubes -> IoU ~0.38
+    m2 = ds.evaluate([dict(boxes_3d=shifted, labels_3d=ann["gt_labels_3d"],
+                           scores_3d=np.full(2, 0.9))])
+    assert m2["mAP_0.25"] == pytest.approx(1.0)
+    assert m2["mAP_0.50"] == 0.0
