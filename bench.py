@@ -82,17 +82,22 @@ def measure(backend: str, iters: int) -> float:
     jax.block_until_ready(variables)
     print(f"[bench] init {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # return occupancy logits too so the refinement trunk is not DCE'd
+    # reduce outputs to scalars ON DEVICE: both heads still compute (no
+    # DCE), but the host sync transfers 8 bytes instead of ~4.6MB — over a
+    # tunneled backend the full fetch added ~100ms/iter of pure transfer
     def _run(v, i, c):
         out = model.apply(v, i, c)
-        return out["pseudo_points"], out["aux"]["occupancy_logits"]
+        return (
+            out["pseudo_points"].sum(),
+            out["aux"]["occupancy_logits"].sum(),
+        )
 
     fwd = jax.jit(_run)
 
     def sync(o):
         # axon's block_until_ready does not reliably block; a device_get does
-        np.asarray(o[0])
-        np.asarray(o[1])
+        float(o[0])
+        float(o[1])
 
     t0 = time.time()
     out = fwd(variables, img_j, c2l_j)

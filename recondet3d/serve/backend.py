@@ -14,6 +14,15 @@ dependencies, same JSON contract:
   GET  /health
   GET  /device-memory    (the reference's /gpu-memory)
   GET  /gallery/manifest
+
+Plus a browser app replacing the reference's gradio UI
+(reference: app/gradio_app.py — upload images, run, inspect outputs;
+gradio is absent from this image, so /app serves a dependency-free HTML
+page with multipart upload, task polling and output downloads):
+
+  GET  /app              upload + results page
+  POST /upload           multipart images -> queued inference task
+  GET  /files/<task>/<f> download an export artifact
 """
 
 from __future__ import annotations
@@ -202,11 +211,63 @@ def create_server(manager: ModelManager, host: str = "127.0.0.1", port: int = 80
                     self._json({k: t[k] for k in ("id", "status", "result", "error")})
             elif self.path == "/gallery/manifest":
                 self._json(manager.gallery_manifest())
+            elif self.path == "/app":
+                body = _app_html().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/files/"):
+                # /files/<task_id>/<filename> — confined to the tasks dir
+                parts = self.path.split("/", 3)
+                if len(parts) != 4 or "/" in parts[3] or ".." in self.path:
+                    return self._json({"error": "bad path"}, 400)
+                root = os.path.join(manager.workdir, "tasks")
+                full = os.path.realpath(os.path.join(root, parts[2], parts[3]))
+                if not full.startswith(os.path.realpath(root) + os.sep) or \
+                        not os.path.isfile(full):
+                    return self._json({"error": "not found"}, 404)
+                data = open(full, "rb").read()
+                ctype = {
+                    ".png": "image/png", ".jpg": "image/jpeg",
+                    ".glb": "model/gltf-binary", ".json": "application/json",
+                }.get(os.path.splitext(full)[1], "application/octet-stream")
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
             else:
                 self._json({"error": "not found"}, 404)
 
         def do_POST(self):
-            if self.path == "/inference":
+            if self.path == "/upload":
+                ctype = self.headers.get("Content-Type", "")
+                if "multipart/form-data" not in ctype:
+                    return self._json({"error": "multipart form required"}, 400)
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                files, fields = _parse_multipart(body, ctype)
+                if not files:
+                    return self._json({"error": "no images uploaded"}, 400)
+                updir = os.path.join(
+                    manager.workdir, "uploads", uuid.uuid4().hex[:12]
+                )
+                os.makedirs(updir, exist_ok=True)
+                paths = []
+                for name, data in files:
+                    safe = os.path.basename(name) or f"img{len(paths)}.png"
+                    p = os.path.join(updir, safe)
+                    with open(p, "wb") as f:
+                        f.write(data)
+                    paths.append(p)
+                task_id = manager.submit(dict(
+                    images=paths,
+                    export_format=fields.get("export_format", "depth_vis"),
+                ))
+                self._json({"task_id": task_id, "status": "queued"})
+            elif self.path == "/inference":
                 length = int(self.headers.get("Content-Length", 0))
                 try:
                     payload = json.loads(self.rfile.read(length) or b"{}")
@@ -247,6 +308,89 @@ GET /tasks &middot; GET /device-memory &middot; GET /gallery/manifest</p>
 <h3>tasks ({len(manager.tasks)})</h3>
 <table><tr><th>id</th><th>status</th><th>created</th></tr>{rows}</table>
 </body></html>"""
+
+
+def _parse_multipart(body: bytes, content_type: str):
+    """Minimal multipart/form-data parser (stdlib-only; the cgi module is
+    deprecated). Returns ([(filename, bytes)], {field: value})."""
+    import re
+
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        return [], {}
+    boundary = m.group(1).encode()
+    files, fields = [], {}
+    for part in body.split(b"--" + boundary):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        head, data = part.split(b"\r\n\r\n", 1)
+        head_s = head.decode(errors="replace")
+        name_m = re.search(r'name="([^"]*)"', head_s)
+        file_m = re.search(r'filename="([^"]*)"', head_s)
+        if file_m and file_m.group(1):
+            files.append((file_m.group(1), data))
+        elif name_m:
+            fields[name_m.group(1)] = data.decode(errors="replace").strip()
+    return files, fields
+
+
+def _app_html() -> str:
+    """Upload/run/inspect page (the reference gradio app's role,
+    reference: app/gradio_app.py:1-724 — served dependency-free)."""
+    return """<!doctype html><html><head><title>recondet3d</title>
+<style>body{font-family:sans-serif;max-width:780px;margin:2em auto}
+img{max-width:240px;margin:4px;border:1px solid #ccc}
+.task{border:1px solid #888;padding:10px;margin:10px 0;border-radius:6px}
+</style></head><body>
+<h2>recondet3d &mdash; multi-view 3D reconstruction</h2>
+<form id=f>
+<input type=file id=imgs multiple accept="image/*">
+<select id=fmt><option>depth_vis</option><option>glb</option>
+<option>mini_npz</option><option>gs_ply</option></select>
+<button type=submit>Run</button></form>
+<div id=tasks></div>
+<script>
+const tasks = {};
+document.getElementById('f').onsubmit = async (e) => {
+  e.preventDefault();
+  const fd = new FormData();
+  for (const f of document.getElementById('imgs').files) fd.append('images', f);
+  fd.append('export_format', document.getElementById('fmt').value);
+  const r = await fetch('/upload', {method: 'POST', body: fd});
+  const j = await r.json();
+  if (j.task_id) { tasks[j.task_id] = 'queued'; poll(j.task_id); }
+};
+async function poll(tid) {
+  const el = document.createElement('div');
+  el.className = 'task'; el.id = 't' + tid;
+  el.textContent = tid + ': queued';
+  document.getElementById('tasks').prepend(el);
+  while (true) {
+    const j = await (await fetch('/status/' + tid)).json();
+    el.textContent = tid + ': ' + j.status;
+    if (j.status === 'done') { render(tid, el); break; }
+    if (j.status === 'failed') { el.textContent += ' — ' + j.error; break; }
+    await new Promise(r => setTimeout(r, 1500));
+  }
+}
+async function render(tid, el) {
+  const man = await (await fetch('/gallery/manifest')).json();
+  const entry = man.find(m => m.task_id === tid);
+  if (!entry) return;
+  for (const f of entry.files) {
+    const url = '/files/' + tid + '/' + f;
+    if (f.endsWith('.png') || f.endsWith('.jpg')) {
+      const img = document.createElement('img'); img.src = url; el.appendChild(img);
+    } else {
+      const a = document.createElement('a'); a.href = url; a.textContent = ' ' + f;
+      a.download = f; el.appendChild(a);
+    }
+  }
+}
+</script></body></html>"""
 
 
 def start_server(model_name: str, cache_dir: str = "ckpts", host: str = "127.0.0.1",
