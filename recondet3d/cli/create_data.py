@@ -46,6 +46,19 @@ def main(argv=None):
         ):
             print(f"wrote {p}")
         return 0
+    if args.dataset == "waymo":
+        from recondet3d.data.waymo import create_waymo_infos
+
+        paths = create_waymo_infos(args.root_path, info_prefix=args.extra_tag)
+        if not paths:
+            raise FileNotFoundError(
+                f"no ImageSets/*.txt under {args.root_path} — run the "
+                "waymo-open-dataset TFRecord extraction (unavailable in this "
+                "environment) to produce the KITTI-format layout first"
+            )
+        for p in paths:
+            print(f"wrote {p}")
+        return 0
     if args.dataset in ("scannet", "s3dis", "sunrgbd"):
         from recondet3d.data.indoor import create_indoor_infos
 
@@ -55,10 +68,8 @@ def main(argv=None):
             print(f"wrote {p}")
         return 0
     raise NotImplementedError(
-        f"{args.dataset} conversion needs the waymo-open-dataset TFRecord "
-        "reader, which is not available in this environment; nuScenes, "
-        "KITTI, Lyft, ScanNet, S3DIS and SUN RGB-D are supported "
-        "(see recondet3d/data/)"
+        f"unknown dataset {args.dataset!r}; supported: nuscenes, kitti, "
+        "lyft, waymo (KITTI-format layout), scannet, s3dis, sunrgbd"
     )
 
 

@@ -135,3 +135,42 @@ def test_cbgs_wrapper(nusc_root):
     cbgs = CBGSDataset(ds)
     assert len(cbgs) > 0
     _ = cbgs.get_ann_info(0)
+
+
+def test_nuimages_coco_export(tmp_path):
+    """nuImages -> COCO over a synthetic table layout."""
+    import base64
+    import json
+    import os
+
+    from recondet3d.data.nuscenes.nuimage_converter import export_nuimages_to_coco
+
+    root = str(tmp_path)
+    tdir = os.path.join(root, "v1.0-mini")
+    os.makedirs(tdir)
+    cats = [dict(token="c1", name="vehicle.car"),
+            dict(token="c2", name="static_object.bicycle_rack")]
+    sds = [dict(token="sd1", filename="samples/CAM_FRONT/a.jpg",
+                is_key_frame=True, width=1600, height=900),
+           dict(token="sd2", filename="sweeps/CAM_FRONT/b.jpg",
+                is_key_frame=False)]
+    counts = base64.b64encode(b"abc").decode()
+    anns = [dict(token="a1", sample_data_token="sd1", category_token="c1",
+                 bbox=[10, 20, 110, 70],
+                 mask=dict(counts=counts, size=[900, 1600])),
+            dict(token="a2", sample_data_token="sd1", category_token="c2",
+                 bbox=[0, 0, 5, 5], mask=None)]
+    for name, rows in (("category", cats), ("sample_data", sds),
+                       ("object_ann", anns)):
+        with open(os.path.join(tdir, f"{name}.json"), "w") as f:
+            json.dump(rows, f)
+
+    out = export_nuimages_to_coco(root)
+    with open(out) as f:
+        coco = json.load(f)
+    assert len(coco["images"]) == 1  # key frames only
+    assert len(coco["annotations"]) == 1  # unmapped category dropped
+    a = coco["annotations"][0]
+    assert a["bbox"] == [10, 20, 100, 50]
+    assert a["segmentation"]["counts"] == "abc"
+    assert coco["categories"][a["category_id"]]["name"] == "car"

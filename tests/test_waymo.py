@@ -1,0 +1,56 @@
+"""Waymo (KITTI-format) converter over a synthetic layout."""
+
+import os
+import pickle
+
+import numpy as np
+
+from recondet3d.data.waymo import create_waymo_infos
+
+
+def _fixture(root):
+    t = os.path.join(root, "training")
+    for d in ("velodyne", "calib", "label_all", "pose"):
+        os.makedirs(os.path.join(t, d), exist_ok=True)
+    os.makedirs(os.path.join(root, "ImageSets"), exist_ok=True)
+    with open(os.path.join(root, "ImageSets", "train.txt"), "w") as f:
+        f.write("0000000\n")
+    with open(os.path.join(t, "calib", "0000000.txt"), "w") as f:
+        P = "1 0 0 0 0 1 0 0 0 0 1 0"
+        for i in range(4):
+            f.write(f"P{i}: {P}\n")
+        f.write("R0_rect: 1 0 0 0 1 0 0 0 1\n")
+        f.write("Tr_velo_to_cam: 0 -1 0 0 0 0 -1 0 1 0 0 0\n")
+    with open(os.path.join(t, "label_all", "0000000.txt"), "w") as f:
+        f.write("Car 0 0 0 0 0 50 50 1.5 1.8 4.2 -2.0 1.0 10.0 0.1\n")
+        f.write("DontCare 0 0 0 0 0 1 1 1 1 1 0 0 0 0\n")
+    np.savetxt(os.path.join(t, "pose", "0000000.txt"), np.eye(4))
+    pts = np.zeros((200, 6), np.float32)
+    pts[:100, :3] = [10.0, 2.0, 0.2]
+    pts[100:, 0] = 40.0
+    pts.tofile(os.path.join(t, "velodyne", "0000000.bin"))
+
+
+def test_create_waymo_infos(tmp_path):
+    root = str(tmp_path)
+    _fixture(root)
+    paths = create_waymo_infos(root)
+    assert len(paths) == 1  # only train.txt exists
+    with open(paths[0], "rb") as f:
+        d = pickle.load(f)
+    info = d["infos"][0]
+    assert len(info["gt_boxes"]) == 1  # DontCare dropped
+    np.testing.assert_allclose(info["gt_boxes"][0, :3], [10, 2, -1], atol=1e-6)
+    np.testing.assert_allclose(info["gt_boxes"][0, 3:6], [4.2, 1.8, 1.5])
+    assert info["num_lidar_pts"][0] == 100
+    assert info["pose"].shape == (4, 4)
+    assert len(info["image_paths"]) == 5
+
+
+def test_tfrecord_stage_gated():
+    import pytest
+
+    from recondet3d.data.waymo.converter import convert_tfrecords
+
+    with pytest.raises(NotImplementedError, match="waymo-open-dataset"):
+        convert_tfrecords()
