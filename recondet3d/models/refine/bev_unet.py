@@ -51,6 +51,14 @@ class BEVHeightOccupancy(nn.Module):
     occ_feature_shape: Sequence[int] = (180, 180, 32)  # (X, Y, C)
     use_residual: bool = True
     use_attention: bool = True
+    # The reference's channel-compression loop reaches the target channel
+    # count inside a conv+BN+ReLU block, so its "logits" are ReLU'd (>= 0)
+    # and BCE-with-logits can never push empty voxels below p=0.5 — training
+    # provably collapses to p=0.5 with zero gradient (measured: loss pins at
+    # 10*ln2, grad_norm -> 0). Default here: the last compression step is a
+    # bare 1x1 conv producing unbounded logits; set True to reproduce the
+    # reference quirk bit-for-bit (reference: sparse_refinement.py:155-176).
+    bug_compatible_relu_logits: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -98,18 +106,30 @@ class BEVHeightOccupancy(nn.Module):
             h = _BN(name=f"dec{i}_bn2")(h, train)
             h = jax.nn.relu(h)
 
-        # gradual compression to the height channels (logits; the reference
-        # leaves a trailing ReLU in the compression stack — reproduced)
+        # gradual compression to the height channels
         target = self.occ_feature_shape[2]
         cur = ch[0]
         k = 0
-        while cur > target:
+        if self.bug_compatible_relu_logits:
+            # reference-faithful: halve with conv+BN+ReLU until target is
+            # reached INSIDE a ReLU block (logits >= 0 — see class docnote)
+            while cur > target:
+                nxt = max(cur // 2, target)
+                h = nn.Conv(nxt, (1, 1), name=f"occ_head{k}_conv")(h)
+                h = _BN(name=f"occ_head{k}_bn")(h, train)
+                h = jax.nn.relu(h)
+                cur = nxt
+                k += 1
+            if cur != target:
+                h = nn.Conv(target, (1, 1), name="occ_head_final")(h)
+            return h
+        # fixed: conv+BN+ReLU only while still ABOVE the target, then a bare
+        # 1x1 conv emits unbounded logits
+        while max(cur // 2, target) > target:
             nxt = max(cur // 2, target)
             h = nn.Conv(nxt, (1, 1), name=f"occ_head{k}_conv")(h)
             h = _BN(name=f"occ_head{k}_bn")(h, train)
             h = jax.nn.relu(h)
             cur = nxt
             k += 1
-        if cur != target:
-            h = nn.Conv(target, (1, 1), name="occ_head_final")(h)
-        return h
+        return nn.Conv(target, (1, 1), name="occ_head_final")(h)

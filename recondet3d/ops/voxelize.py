@@ -32,6 +32,7 @@ __all__ = [
     "dynamic_voxelize",
     "voxel_centers",
     "Voxelization",
+    "VoxelGenerator",
 ]
 
 
@@ -192,3 +193,70 @@ class Voxelization:
             f"max_num_points={self.max_num_points}, "
             f"max_voxels=({self.max_voxels_train}, {self.max_voxels_test}))"
         )
+
+
+class VoxelGenerator:
+    """Numpy voxel generator mirroring the devkit CPU reference
+    (reference: mmdet3d/core/voxel/voxel_generator.py:6-106 —
+    first-appearance voxel order, per-voxel point cap, max_voxels cap).
+    Used as a host-side oracle and for data-side tooling; the device path
+    is :func:`voxelize`."""
+
+    def __init__(self, voxel_size, point_cloud_range, max_num_points,
+                 max_voxels: int = 20000):
+        self._voxel_size = np.asarray(voxel_size, np.float32)
+        self._point_cloud_range = np.asarray(point_cloud_range, np.float32)
+        self._max_num_points = int(max_num_points)
+        self._max_voxels = int(max_voxels)
+        self._grid_size = np.round(
+            (self._point_cloud_range[3:] - self._point_cloud_range[:3])
+            / self._voxel_size
+        ).astype(np.int64)
+
+    @property
+    def voxel_size(self):
+        return self._voxel_size
+
+    @property
+    def point_cloud_range(self):
+        return self._point_cloud_range
+
+    @property
+    def max_num_points_per_voxel(self):
+        return self._max_num_points
+
+    @property
+    def grid_size(self):
+        return self._grid_size
+
+    def generate(self, points: np.ndarray):
+        """points (N, C) -> (voxels (M, max_pts, C), coors (M, 3) zyx,
+        num_points (M,)) with M <= max_voxels, first-appearance order."""
+        pts = np.asarray(points)
+        lo = self._point_cloud_range[:3]
+        hi = self._point_cloud_range[3:]
+        gx, gy, gz = self._grid_size
+        c = np.floor((pts[:, :3] - lo) / self._voxel_size).astype(np.int64)
+        ok = np.all(pts[:, :3] >= lo, 1) & np.all(pts[:, :3] < hi, 1)
+        ok &= np.all(c >= 0, 1) & (c[:, 0] < gx) & (c[:, 1] < gy) & (c[:, 2] < gz)
+
+        voxels = np.zeros(
+            (self._max_voxels, self._max_num_points, pts.shape[1]), pts.dtype
+        )
+        coors = np.zeros((self._max_voxels, 3), np.int32)
+        num = np.zeros(self._max_voxels, np.int32)
+        index = {}
+        for i in np.flatnonzero(ok):
+            key = (int(c[i, 2]), int(c[i, 1]), int(c[i, 0]))  # zyx
+            v = index.get(key)
+            if v is None:
+                if len(index) >= self._max_voxels:
+                    continue
+                v = len(index)
+                index[key] = v
+                coors[v] = key
+            if num[v] < self._max_num_points:
+                voxels[v, num[v]] = pts[i]
+                num[v] += 1
+        m = len(index)
+        return voxels[:m], coors[:m], num[:m]

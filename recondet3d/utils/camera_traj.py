@@ -20,6 +20,7 @@ __all__ = [
     "wander_path",
     "wobble_path",
     "dolly_zoom_path",
+    "stabilization_path",
 ]
 
 
@@ -128,3 +129,56 @@ def dolly_zoom_path(ext0, ixt0, n_frames: int = 60, depth_range=(0.0, 0.5),
     ixt[:, 0, 0] /= scale
     ixt[:, 1, 1] /= scale
     return ext, ixt
+
+
+def stabilization_path(poses, k_size: int = 45):
+    """Gaussian-smooth a camera path (reference: camera_trj_helpers.py
+    render_stabilization_path:32-106 — filter r1/r2/t columns of each
+    pose with a reflect-padded Gaussian, renormalize, rebuild r3 by cross
+    product).
+
+    poses (n, 4, 4) or (n, 3, 4) -> (n, 4, 4)."""
+    poses = _to44_np(np.asarray(poses, np.float64))
+    n = poses.shape[0]
+    if n <= 1:
+        return poses.astype(np.float32)
+
+    # safe odd kernel size capped to the frame count (reference :45-57)
+    k_size = max(int(k_size), 1)
+    if k_size % 2 == 0:
+        k_size += 1
+    max_odd = n if n % 2 == 1 else n - 1
+    k_size = min(k_size, max(max_odd, 1))
+    if n >= 3 and k_size < 3:
+        k_size = 3
+
+    # cv2.getGaussianKernel(sigma=-1): sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8
+    sigma = 0.3 * ((k_size - 1) * 0.5 - 1) + 0.8
+    x = np.arange(k_size) - (k_size - 1) / 2
+    kern = np.exp(-(x**2) / (2 * sigma**2))
+    kern /= kern.sum()
+    pad = k_size // 2
+
+    cols = np.stack(
+        [poses[:, :3, 0], poses[:, :3, 1], poses[:, :3, 3]], axis=-1
+    )  # (n, 3, 3): r1, r2, t
+    padded = np.pad(cols, ((pad, pad), (0, 0), (0, 0)), mode="reflect")
+    smooth = np.stack(
+        [
+            np.convolve(padded[:, d, c], kern, mode="valid")
+            for d in range(3) for c in range(3)
+        ], axis=-1,
+    ).reshape(n, 3, 3)
+
+    r1 = smooth[:, :, 0]
+    r1 /= np.linalg.norm(r1, axis=-1, keepdims=True)
+    r2 = smooth[:, :, 1]
+    r2 /= np.linalg.norm(r2, axis=-1, keepdims=True)
+    r3 = np.cross(r1, r2)
+    t = smooth[:, :, 2]
+    out = np.repeat(np.eye(4)[None], n, 0)
+    out[:, :3, 0] = r1
+    out[:, :3, 1] = r2
+    out[:, :3, 2] = r3
+    out[:, :3, 3] = t
+    return out.astype(np.float32)

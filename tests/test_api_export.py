@@ -117,3 +117,25 @@ def test_colmap_export(prediction, tmp_path):
     assert len(cams) == 2 and len(imgs) == 2
     H, W = prediction.depth.shape[1:]
     assert cams[1]["width"] == W and cams[1]["height"] == H
+
+
+def test_read_reference_pcd_artifacts():
+    """Interop: parse the reference's checked-in inference outputs
+    (reference: output/*.pcd — binary v0.7, fields x y z rgb)."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from recondet3d.data.export.pointcloud_io import read_pcd
+
+    path = "/root/reference/output/sample_0_points.pcd"
+    if not os.path.exists(path):
+        pytest.skip("reference artifacts not mounted")
+    pts, colors = read_pcd(path)
+    assert pts.shape == (40000, 3)
+    assert np.isfinite(pts).all()
+    assert colors is not None and colors.shape == (40000, 3)
+    assert colors.max() <= 255 and colors.min() >= 0
+    # plausibly scene-scaled coordinates
+    assert 1.0 < np.abs(pts).max() < 1000.0

@@ -136,4 +136,16 @@ def test_bev_unet_shapes():
     params = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(params, x)
     assert out.shape == (2, 20, 20, 8)
-    assert np.all(np.asarray(out) >= 0)  # trailing ReLU in the reference head
+    # fixed head: unbounded logits (the reference's ReLU'd-logits quirk is
+    # opt-in — with it, BCE provably cannot push empty voxels below p=0.5)
+    rng_x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 20, 20, 32)),
+                        jnp.float32)
+    out2 = model.apply(params, rng_x)
+    assert float(out2.min()) < 0
+
+    quirk = BEVHeightOccupancy(
+        in_channels=32, unet_channels=(32, 64, 96, 128),
+        occ_feature_shape=(20, 20, 8), bug_compatible_relu_logits=True,
+    )
+    p2 = quirk.init(jax.random.PRNGKey(0), rng_x)
+    assert float(quirk.apply(p2, rng_x).min() ) >= 0

@@ -130,3 +130,29 @@ def test_voxelization_wrapper():
     vox, coors, num, nv = layer(pts, training=False)
     assert vox.shape == (160, 10, 3)
     assert int(nv) > 0
+
+
+def test_voxel_generator_matches_device_voxelize():
+    """The numpy VoxelGenerator agrees with the jitted voxelize op."""
+    import numpy as np
+
+    from recondet3d.ops.voxelize import VoxelGenerator, voxelize
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-3, 3, (500, 4)).astype(np.float32)
+    gen = VoxelGenerator(voxel_size=(0.5, 0.5, 0.5),
+                         point_cloud_range=(-2, -2, -2, 2, 2, 2),
+                         max_num_points=5, max_voxels=128)
+    v_np, c_np, n_np = gen.generate(pts)
+
+    import jax.numpy as jnp
+    v, c, n, nv = voxelize(
+        jnp.asarray(pts), point_cloud_range=(-2, -2, -2, 2, 2, 2),
+        voxel_size=(0.5, 0.5, 0.5), max_points=5, max_voxels=128,
+    )
+    m = int(nv)
+    assert m == len(c_np)
+    # same voxels in first-appearance order, same per-voxel counts
+    np.testing.assert_array_equal(np.asarray(c)[:m], c_np)
+    np.testing.assert_array_equal(np.asarray(n)[:m], n_np)
+    np.testing.assert_allclose(np.asarray(v)[:m], v_np, atol=1e-6)
