@@ -120,3 +120,40 @@ def test_dynamic_scatter_mean_max():
         feats, coors, grid=(10, 10, 10), max_voxels=8, reduce="max"
     )
     np.testing.assert_allclose(np.asarray(vf2)[0], [3.0, 4.0])
+
+
+def test_ball_query_grid_matches_scan():
+    """The grid-pruned implementation is exact: identical output to the
+    full scan, including dense scenes, clipped-out points, min_radius and
+    the no-neighbor fill rules."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from recondet3d.ops.ball_query import _ball_query_grid, _ball_query_scan
+
+    rng = np.random.default_rng(0)
+    for N, M, scale in [(5000, 300, 20.0), (8000, 500, 3.0), (3000, 200, 0.8)]:
+        pts = rng.uniform(-scale, scale, (N, 3)).astype(np.float32)
+        cen = pts[rng.choice(N, M, replace=False)] + rng.normal(
+            0, 0.05, (M, 3)
+        ).astype(np.float32)
+        valid = rng.random(N) < 0.9
+        a = np.asarray(_ball_query_scan(
+            0.0, 0.5, 16, jnp.asarray(pts), jnp.asarray(cen),
+            jnp.asarray(valid), chunk=128, block=1024,
+        ))
+        b = np.asarray(_ball_query_grid(
+            0.0, 0.5, 16, jnp.asarray(pts), jnp.asarray(cen),
+            jnp.asarray(valid), chunk=128, block=512,
+        ))
+        np.testing.assert_array_equal(a, b)
+
+    # annulus (min_radius > 0)
+    pts = rng.uniform(-5, 5, (4000, 3)).astype(np.float32)
+    cen = pts[:200]
+    a = np.asarray(_ball_query_scan(0.2, 0.8, 8, jnp.asarray(pts),
+                                    jnp.asarray(cen), None, chunk=64, block=512))
+    b = np.asarray(_ball_query_grid(0.2, 0.8, 8, jnp.asarray(pts),
+                                    jnp.asarray(cen), None, chunk=64, block=256))
+    np.testing.assert_array_equal(a, b)
