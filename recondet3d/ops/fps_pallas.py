@@ -43,15 +43,26 @@ _LANES = 128
 _BLOCK_ROWS = 256
 
 
+_GROUP = 8  # blocks per tournament group
+
+
 def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
-                dist_ref, last_ref, coord_ref, bmax_ref, barg_ref, sem, *,
-                rows):
+                dist_ref, last_ref, coord_ref, bmax_ref, barg_ref, gmax_ref,
+                sem, *, rows):
     """Grid step i selects point i. The per-step pass runs in static row
     blocks so live temporaries stay ~0.25 MB next to the ~14 MB resident
-    scratch; each block is guarded by the AABB lower-bound test."""
+    scratch; each block is guarded by the AABB lower-bound test.
+
+    Blocks are organized in a two-level tournament (groups of _GROUP with
+    a cached group AABB + group max-min-distance): the per-step scalar
+    sweep visits groups and descends only into groups whose AABB lower
+    bound can still change something / that hold the global argmax. At
+    N=2.7M (83 blocks) the flat sweep's ~83 scalar iterations per step
+    were the dominant cost (~8us/step)."""
     i = pl.program_id(0)
     big = jnp.int32(rows * _LANES)
     n_blocks = rows // _BLOCK_ROWS
+    n_groups = -(-n_blocks // _GROUP)
     kidx = jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, 1)
 
     def block_iota(b):
@@ -70,6 +81,26 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
         coord_ref[0] = jnp.sum(pts_ref[0, sl, :] * sel)
         coord_ref[1] = jnp.sum(pts_ref[1, sl, :] * sel)
         coord_ref[2] = jnp.sum(pts_ref[2, sl, :] * sel)
+
+    def aabb_lb2(base, px, py, pz):
+        dx = jnp.maximum(
+            jnp.maximum(aabb_ref[base + 0] - px, px - aabb_ref[base + 1]), 0.0
+        )
+        dy = jnp.maximum(
+            jnp.maximum(aabb_ref[base + 2] - py, py - aabb_ref[base + 3]), 0.0
+        )
+        dz = jnp.maximum(
+            jnp.maximum(aabb_ref[base + 4] - pz, pz - aabb_ref[base + 5]), 0.0
+        )
+        return dx * dx + dy * dy + dz * dz
+
+    def group_refresh(g):
+        base = g * _GROUP
+
+        def m_body(j, acc):
+            return jnp.maximum(acc, bmax_ref[base + j])
+
+        gmax_ref[g] = jax.lax.fori_loop(0, _GROUP, m_body, -jnp.inf)
 
     @pl.when(i == 0)
     def _():
@@ -90,6 +121,19 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
 
         jax.lax.fori_loop(0, n_blocks, init_body, 0)
 
+        def pad_body(b, _):
+            bmax_ref[b] = -jnp.inf
+            barg_ref[b] = big
+            return 0
+
+        jax.lax.fori_loop(n_blocks, n_groups * _GROUP, pad_body, 0)
+
+        def ginit_body(g, _):
+            group_refresh(g)
+            return 0
+
+        jax.lax.fori_loop(0, n_groups, ginit_body, 0)
+
         first = start_ref[0]
         idx_ref[:] = jnp.where(kidx == 0, first, 0)
         last_ref[0] = first
@@ -101,22 +145,8 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
         py = coord_ref[1]
         pz = coord_ref[2]
 
-        def update(b, acc):
-            best, best_idx = acc
-            base = b * 8
-            dx = jnp.maximum(
-                jnp.maximum(aabb_ref[base + 0] - px, px - aabb_ref[base + 1]),
-                0.0,
-            )
-            dy = jnp.maximum(
-                jnp.maximum(aabb_ref[base + 2] - py, py - aabb_ref[base + 3]),
-                0.0,
-            )
-            dz = jnp.maximum(
-                jnp.maximum(aabb_ref[base + 4] - pz, pz - aabb_ref[base + 5]),
-                0.0,
-            )
-            lb2 = dx * dx + dy * dy + dz * dz
+        def update_block(b):
+            lb2 = aabb_lb2(b * 8, px, py, pz)
 
             @pl.when(lb2 < bmax_ref[b])
             def _():
@@ -132,12 +162,46 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
                 bmax_ref[b] = m
                 barg_ref[b] = jnp.min(jnp.where(nd == m, block_iota(b), big))
 
-            m = bmax_ref[b]
-            bi = barg_ref[b]
-            take = m > best
-            return jnp.where(take, m, best), jnp.where(take, bi, best_idx)
+        def sweep_group(g, _):
+            glb2 = aabb_lb2((n_blocks + g) * 8, px, py, pz)
 
-        _, nxt = jax.lax.fori_loop(0, n_blocks, update, (-jnp.inf, big))
+            @pl.when(glb2 < gmax_ref[g])
+            def _():
+                def member(j, _):
+                    b = g * _GROUP + j
+
+                    @pl.when(b < n_blocks)
+                    def _():
+                        update_block(b)
+
+                    return 0
+
+                jax.lax.fori_loop(0, _GROUP, member, 0)
+                group_refresh(g)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_groups, sweep_group, 0)
+
+        # tournament argmax: first group with a strictly greater max =
+        # the group holding the first block achieving the global max —
+        # identical tie-breaking to the flat ascending-block scan
+        def gbest_body(g, acc):
+            best, gwin = acc
+            m = gmax_ref[g]
+            take = m > best
+            return jnp.where(take, m, best), jnp.where(take, g, gwin)
+
+        gbest, gwin = jax.lax.fori_loop(
+            0, n_groups, gbest_body, (-jnp.inf, jnp.int32(0))
+        )
+
+        def pick_body(j, acc):
+            b = gwin * _GROUP + j
+            take = (bmax_ref[b] == gbest) & (acc == big)
+            return jnp.where(take, barg_ref[b], acc)
+
+        nxt = jax.lax.fori_loop(0, _GROUP, pick_body, big)
         idx_ref[:] = jnp.where(kidx == i, nxt, idx_ref[:])
         last_ref[0] = nxt
         extract_coords(nxt)
@@ -194,18 +258,35 @@ def furthest_point_sample_pallas(
     dist0 = dist0.reshape(rows, _LANES)
 
     # per-block AABBs over VALID points (empty blocks -> inverted boxes
-    # whose lower bound is huge -> always skipped)
+    # whose lower bound is huge -> always skipped), plus per-GROUP union
+    # AABBs appended for the kernel's two-level tournament
     pv = jnp.pad(svalid, (0, pad)).reshape(n_blocks, per_block, 1)
     pb = pts.reshape(n_blocks, per_block, 3)
     blo = jnp.min(jnp.where(pv, pb, jnp.inf), axis=1)  # (n_blocks, 3)
     bhi = jnp.max(jnp.where(pv, pb, -jnp.inf), axis=1)
+    n_groups = -(-n_blocks // _GROUP)
+    gpad = n_groups * _GROUP - n_blocks
+    glo = jnp.min(
+        jnp.pad(blo, ((0, gpad), (0, 0)), constant_values=jnp.inf).reshape(
+            n_groups, _GROUP, 3
+        ),
+        axis=1,
+    )
+    ghi = jnp.max(
+        jnp.pad(bhi, ((0, gpad), (0, 0)), constant_values=-jnp.inf).reshape(
+            n_groups, _GROUP, 3
+        ),
+        axis=1,
+    )
+    lo6 = jnp.concatenate([blo, glo])
+    hi6 = jnp.concatenate([bhi, ghi])
     aabb = jnp.stack(
-        [blo[:, 0], bhi[:, 0], blo[:, 1], bhi[:, 1], blo[:, 2], bhi[:, 2]],
+        [lo6[:, 0], hi6[:, 0], lo6[:, 1], hi6[:, 1], lo6[:, 2], hi6[:, 2]],
         axis=1,
     )
     aabb = jnp.concatenate(
-        [aabb, jnp.zeros((n_blocks, 2), jnp.float32)], axis=1
-    ).reshape(-1)  # (n_blocks * 8,)
+        [aabb, jnp.zeros((n_blocks + n_groups, 2), jnp.float32)], axis=1
+    ).reshape(-1)  # ((n_blocks + n_groups) * 8,)
 
     kpad = (-num_samples) % _LANES
     vmem_bytes = (4 * rows * _LANES * 4) + (num_samples + kpad) * 4 + (4 << 20)
@@ -227,8 +308,9 @@ def furthest_point_sample_pallas(
                 pltpu.VMEM((rows, _LANES), jnp.float32),
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SMEM((3,), jnp.float32),
-                pltpu.SMEM((n_blocks,), jnp.float32),
-                pltpu.SMEM((n_blocks,), jnp.int32),
+                pltpu.SMEM((n_groups * _GROUP,), jnp.float32),
+                pltpu.SMEM((n_groups * _GROUP,), jnp.int32),
+                pltpu.SMEM((n_groups,), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
