@@ -51,6 +51,7 @@ class NuScenesDataset:
         box_type_3d: str = "LiDAR",
         with_velocity: bool = True,
         bug_compatible_cam2lidar: bool = False,
+        custom_eval_set: Optional[str] = None,
         **kwargs,
     ):
         self.data_root = data_root
@@ -62,6 +63,7 @@ class NuScenesDataset:
         self.CLASSES = tuple(classes) if classes else DEFAULT_CLASSES
         self.cat2id = {c: i for i, c in enumerate(self.CLASSES)}
         self.bug_compatible_cam2lidar = bug_compatible_cam2lidar
+        self.custom_eval_set = custom_eval_set
         self.pipeline = pipeline
         self.data_infos = self.load_annotations(ann_file)
 
@@ -145,12 +147,30 @@ class NuScenesDataset:
 
         results: list (len == len(self)) of dicts with 'boxes_3d' (N, 7/9),
         'scores_3d' (N,), 'labels_3d' (N,).
+
+        ``custom_eval_set`` (ctor arg; reference: nuscenes_dataset.py:
+        449-461 maps it to a devkit eval-set split) restricts scoring to
+        the sample tokens / scene names listed in
+        ``{data_root}/splits/{custom_eval_set}.json``.
         """
         from recondet3d.train.eval.nuscenes_eval import DetectionBox, evaluate_nuscenes
+
+        keep = None
+        if self.custom_eval_set is not None:
+            import json
+
+            split_path = os.path.join(
+                self.data_root, "splits", f"{self.custom_eval_set}.json"
+            )
+            with open(split_path) as f:
+                keep = set(json.load(f))
 
         gt_list, pred_list = [], []
         for idx in range(len(self)):
             token = self.data_infos[idx]["token"]
+            if keep is not None and token not in keep and \
+                    self.data_infos[idx].get("scene_name") not in keep:
+                continue
             ann = self.get_ann_info(idx)
             for box, lbl in zip(ann["gt_bboxes_3d"], ann["gt_labels_3d"]):
                 if lbl < 0:
