@@ -46,6 +46,7 @@ def build_pipeline(dtype):
         max_voxels=40960,
         occ_max_voxels=65536,
         stage_caps=(40960, 32768, 24576, 16384),
+        dtype=dtype,
     )
     backbone = ReconstructionBackbone(da3=da3, refinement=refinement)
     return ResDet3D(reconstruction_backbone=backbone)

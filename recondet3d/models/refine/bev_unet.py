@@ -11,6 +11,7 @@ Outputs logits (B, H, W, 32) channels-last.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import flax.linen as nn
@@ -26,13 +27,14 @@ class _ChannelAttention(nn.Module):
     """GlobalAvgPool -> 1x1 conv -> ReLU -> 1x1 conv -> sigmoid."""
 
     channels: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         g = x.mean(axis=(1, 2), keepdims=True)
-        g = nn.Conv(self.channels // 4, (1, 1), name="fc1")(g)
+        g = nn.Conv(self.channels // 4, (1, 1), dtype=self.dtype, name="fc1")(g)
         g = jax.nn.relu(g)
-        g = nn.Conv(self.channels, (1, 1), name="fc2")(g)
+        g = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="fc2")(g)
         return jax.nn.sigmoid(g)
 
 
@@ -59,31 +61,35 @@ class BEVHeightOccupancy(nn.Module):
     # bare 1x1 conv producing unbounded logits; set True to reproduce the
     # reference quirk bit-for-bit (reference: sparse_refinement.py:155-176).
     bug_compatible_relu_logits: bool = False
+    # computation dtype (params stay f32; BN statistics stay f32; the
+    # final logits are emitted in f32)
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, H, W, in_channels) -> logits (B, H, W, occ_channels)."""
+        conv = functools.partial(nn.Conv, dtype=self.dtype)
         ch = list(self.unet_channels)
-        x = nn.Conv(ch[0], (1, 1), name="input_proj")(x)
+        x = conv(ch[0], (1, 1), name="input_proj")(x.astype(self.dtype))
 
         enc_feats = [x]
         for i in range(len(ch) - 1):
             in_ch, out_ch = ch[i], ch[i + 1]
             h = enc_feats[-1]
             if i == 0:
-                h = nn.Conv(in_ch, (3, 3), padding=1, name=f"enc{i}_conv1")(h)
+                h = conv(in_ch, (3, 3), padding=1, name=f"enc{i}_conv1")(h)
                 h = _BN(name=f"enc{i}_bn1")(h, train)
                 h = jax.nn.relu(h)
-                h = nn.Conv(out_ch, (3, 3), padding=1, name=f"enc{i}_conv2")(h)
+                h = conv(out_ch, (3, 3), padding=1, name=f"enc{i}_conv2")(h)
             else:
-                h = nn.Conv(out_ch, (3, 3), strides=2, padding=1, name=f"enc{i}_conv1")(h)
+                h = conv(out_ch, (3, 3), strides=2, padding=1, name=f"enc{i}_conv1")(h)
                 h = _BN(name=f"enc{i}_bn1")(h, train)
                 h = jax.nn.relu(h)
-                h = nn.Conv(out_ch, (3, 3), padding=1, name=f"enc{i}_conv2")(h)
+                h = conv(out_ch, (3, 3), padding=1, name=f"enc{i}_conv2")(h)
             h = _BN(name=f"enc{i}_bn2")(h, train)
             h = jax.nn.relu(h)
             if self.use_attention:
-                h = h * _ChannelAttention(out_ch, name=f"attn{i}")(h)
+                h = h * _ChannelAttention(out_ch, dtype=self.dtype, name=f"attn{i}")(h)
             if self.use_residual and i != 0 and in_ch == out_ch:
                 h = h + enc_feats[-1]
             enc_feats.append(h)
@@ -99,10 +105,10 @@ class BEVHeightOccupancy(nn.Module):
                 h = resize_2d(h, skip.shape[1:3], mode="bilinear", align_corners=False)
                 h = jnp.concatenate([h, skip], axis=-1)
                 out_ch = ch[-(i + 2)]
-            h = nn.Conv(out_ch, (3, 3), padding=1, name=f"dec{i}_conv1")(h)
+            h = conv(out_ch, (3, 3), padding=1, name=f"dec{i}_conv1")(h)
             h = _BN(name=f"dec{i}_bn1")(h, train)
             h = jax.nn.relu(h)
-            h = nn.Conv(out_ch, (3, 3), padding=1, name=f"dec{i}_conv2")(h)
+            h = conv(out_ch, (3, 3), padding=1, name=f"dec{i}_conv2")(h)
             h = _BN(name=f"dec{i}_bn2")(h, train)
             h = jax.nn.relu(h)
 
@@ -115,21 +121,23 @@ class BEVHeightOccupancy(nn.Module):
             # reached INSIDE a ReLU block (logits >= 0 — see class docnote)
             while cur > target:
                 nxt = max(cur // 2, target)
-                h = nn.Conv(nxt, (1, 1), name=f"occ_head{k}_conv")(h)
+                h = conv(nxt, (1, 1), name=f"occ_head{k}_conv")(h)
                 h = _BN(name=f"occ_head{k}_bn")(h, train)
                 h = jax.nn.relu(h)
                 cur = nxt
                 k += 1
             if cur != target:
-                h = nn.Conv(target, (1, 1), name="occ_head_final")(h)
-            return h
+                h = nn.Conv(target, (1, 1), dtype=jnp.float32,
+                            name="occ_head_final")(h)
+            return h.astype(jnp.float32)
         # fixed: conv+BN+ReLU only while still ABOVE the target, then a bare
         # 1x1 conv emits unbounded logits
         while max(cur // 2, target) > target:
             nxt = max(cur // 2, target)
-            h = nn.Conv(nxt, (1, 1), name=f"occ_head{k}_conv")(h)
+            h = conv(nxt, (1, 1), name=f"occ_head{k}_conv")(h)
             h = _BN(name=f"occ_head{k}_bn")(h, train)
             h = jax.nn.relu(h)
             cur = nxt
             k += 1
-        return nn.Conv(target, (1, 1), name="occ_head_final")(h)
+        return nn.Conv(target, (1, 1), dtype=jnp.float32,
+                       name="occ_head_final")(h).astype(jnp.float32)

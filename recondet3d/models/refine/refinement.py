@@ -80,6 +80,9 @@ class SparseRefinement(nn.Module):
     stage_caps: Sequence[int] = (65536, 49152, 32768, 16384)
     loss_type: str = "bce"
     occupancy_loss_weight: float = 10.0
+    # computation dtype of the sparse encoder + BEV U-Net (params and BN
+    # statistics stay f32; the loss and logits are f32)
+    dtype: object = jnp.float32
 
     def setup(self):
         self.middle_encoder = SparseEncoder(
@@ -92,6 +95,7 @@ class SparseRefinement(nn.Module):
             in_channels=self.encoder_out_channels * 2,
             unet_channels=tuple(self.unet_channels),
             occ_feature_shape=tuple(self.occ_feature_shape),
+            dtype=self.dtype,
         )
         self.loss_occupancy = OccupancyLoss(
             loss_type=self.loss_type, loss_weight=self.occupancy_loss_weight
@@ -123,6 +127,7 @@ class SparseRefinement(nn.Module):
         )
         voxel_feats = hard_simple_vfe(voxels, nums, num_features=pts.shape[-1])
         voxel_feats = jnp.where((coors[:, 0] >= 0)[:, None], voxel_feats, 0)
+        voxel_feats = voxel_feats.astype(self.dtype)
 
         sparse_features = self.middle_encoder(voxel_feats, coors, B, train=train)
         occupancy_logits = self.bev_height_occupancy(sparse_features, train=train)
