@@ -202,6 +202,70 @@ def build_neighbor_map(st: SparseTensor, kernel=3) -> jnp.ndarray:
     return rows
 
 
+def _gather_gemm(features, gather_map, weight):
+    """out[m] = sum_k features[gather_map(m, k)] @ W[k]; map entries == N
+    (the padded zero row) mark missing neighbors."""
+    N, Cin = features.shape
+    M, K = gather_map.shape
+    Cout = weight.shape[-1]
+    padded = jnp.concatenate(
+        [features, jnp.zeros((1, Cin), features.dtype)], axis=0
+    )
+    gathered = padded[gather_map]  # (M, K, Cin)
+    return jax.lax.dot_general(
+        gathered.reshape(M, K * Cin),
+        weight.astype(features.dtype).reshape(K * Cin, Cout),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(features.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _conv_core(features, gather_map, bwd_map, weight, flip_bwd):
+    """Gather-GEMM conv with a gather-GEMM BACKWARD.
+
+    XLA's derived transpose of the row gather is a (M*K)-row scatter-add —
+    measured ~3.5x slower than the gather form at encoder shapes. Both
+    directions here use gathers: the caller supplies ``bwd_map`` with
+    bwd_map[n, k] = the output row that reads input n at tap k (or M).
+    For submanifold convs the neighbor relation is symmetric, so
+    bwd_map = nbr_map with the TAPS mirrored — passed as flip_bwd=True
+    with bwd_map == nbr_map (the weight flip implements the mirror)."""
+    return _gather_gemm(features, gather_map, weight)
+
+
+def _conv_core_fwd(features, gather_map, bwd_map, weight, flip_bwd):
+    out = _gather_gemm(features, gather_map, weight)
+    return out, (features, gather_map, bwd_map, weight)
+
+
+def _conv_core_bwd(flip_bwd, res, g):
+    import numpy as _np
+
+    features, gather_map, bwd_map, weight = res
+    wb = jnp.flip(weight, 0) if flip_bwd else weight
+    wb = wb.transpose(0, 2, 1)  # (K, Cout, Cin)
+    df = _gather_gemm(g.astype(features.dtype), bwd_map, wb)
+
+    N, Cin = features.shape
+    M, K = gather_map.shape
+    padded = jnp.concatenate(
+        [features, jnp.zeros((1, Cin), features.dtype)], axis=0
+    )
+    gathered = padded[gather_map]  # (M, K, Cin)
+    dw = jnp.einsum(
+        "mkc,md->kcd",
+        gathered.astype(jnp.float32),
+        g.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(weight.dtype)
+    zmap = _np.zeros(gather_map.shape, jax.dtypes.float0)
+    zmap_b = _np.zeros(bwd_map.shape, jax.dtypes.float0)
+    return df, zmap, zmap_b, dw
+
+
+_conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
+
+
 def subm_conv_apply(
     features: jnp.ndarray,
     nbr_map: jnp.ndarray,
@@ -214,21 +278,13 @@ def subm_conv_apply(
     out[n] = sum_k features[nbr(n, k)] @ W[k] — one (N, K) row gather +
     one (N, K*Cin) x (K*Cin, Cout) MXU GEMM. Measured on v5e at
     N=41k/K=27/C=16: gather 33ms vs scatter-add 46ms (the subm map is its
-    own inverse, so both forms compute the same conv)."""
-    N, Cin = features.shape
+    own inverse, so both forms compute the same conv). The backward also
+    runs in gather form via the map's mirror symmetry (see _conv_core)."""
+    N = features.shape[0]
     M, K = nbr_map.shape
-    Cout = weight.shape[-1]
     if M != N:
         raise ValueError("subm conv requires square maps")
-    padded = jnp.concatenate(
-        [features, jnp.zeros((1, Cin), features.dtype)], axis=0
-    )
-    gathered = padded[nbr_map]  # (N, K, Cin)
-    out = jax.lax.dot_general(
-        gathered.reshape(N, K * Cin),
-        weight.astype(features.dtype).reshape(K * Cin, Cout),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).astype(features.dtype)
+    out = _conv_core(features, nbr_map, nbr_map, weight, True)
     if bias is not None:
         out = out + bias.astype(features.dtype)
     return out
@@ -367,15 +423,25 @@ def _downsample_gather_map(
     tap_lin = (tap[..., 0] * kk[1] + tap[..., 1]) * kk[2] + tap[..., 2]
     mm = m.reshape(N, KC)
     slot = jnp.where(mm < max_out, mm * K + tap_lin, max_out * K)
+    narange = jnp.arange(N, dtype=jnp.int32)
     rows = jnp.full((max_out * K + 1,), N, jnp.int32).at[
         slot.reshape(-1)
     ].set(
-        jnp.broadcast_to(
-            jnp.arange(N, dtype=jnp.int32)[:, None], (N, KC)
-        ).reshape(-1),
+        jnp.broadcast_to(narange[:, None], (N, KC)).reshape(-1),
         mode="drop",
     )
-    return out_coords, rows[: max_out * K].reshape(max_out, K), n_out
+    # backward map for the conv vjp: bwd[n, k] = the output row reading
+    # input n at tap k (or max_out) — given k, the parent is unique
+    bslot = jnp.where(mm < max_out, narange[:, None] * K + tap_lin, N * K)
+    bwd = jnp.full((N * K + 1,), max_out, jnp.int32).at[
+        bslot.reshape(-1)
+    ].set(jnp.where(mm < max_out, mm, max_out).reshape(-1), mode="drop")
+    return (
+        out_coords,
+        rows[: max_out * K].reshape(max_out, K),
+        bwd[: N * K].reshape(N, K),
+        n_out,
+    )
 
 
 def sparse_conv_downsample(
@@ -393,7 +459,7 @@ def sparse_conv_downsample(
     stride = _triple(stride)
     padding = _triple(padding)
     out_grid = _out_grid(st.grid, kernel, stride, padding)
-    out_coords, gather_rows, _ = _downsample_gather_map(
+    out_coords, gather_rows, bwd_rows, _ = _downsample_gather_map(
         st.coords,
         grid=st.grid,
         batch_size=st.batch_size,
@@ -402,7 +468,9 @@ def sparse_conv_downsample(
         padding=padding,
         max_out=int(max_out),
     )
-    out_feats = gathered_conv_apply(st.features, gather_rows, weight, bias)
+    out_feats = _conv_core(st.features, gather_rows, bwd_rows, weight, False)
+    if bias is not None:
+        out_feats = out_feats + bias.astype(out_feats.dtype)
     out_feats = jnp.where((out_coords[:, 0] >= 0)[:, None], out_feats, 0)
     return SparseTensor(out_feats, out_coords, out_grid, st.batch_size)
 

@@ -6,6 +6,7 @@ strided sparse conv equals dense conv at the derived active outputs)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from recondet3d.ops.sparse_conv import (
@@ -148,3 +149,69 @@ def test_to_dense_bev_layout():
     assert bev[1, 1, 1, 0] == 3.0
     assert bev[1, 1, 1, 2] == 4.0
     assert np.abs(bev).sum() == 10.0  # padding row dropped
+
+
+def test_custom_vjp_matches_autodiff():
+    """The gather-form custom backward of subm/downsample convs must equal
+    plain autodiff through the gather-GEMM (which XLA transposes into a
+    scatter-add)."""
+    import numpy as np
+
+    from recondet3d.ops.sparse_conv import (
+        _downsample_gather_map,
+        _gather_gemm,
+        sparse_conv_downsample,
+        subm_conv_apply,
+    )
+
+    rng = np.random.default_rng(0)
+    grid = (8, 20, 20)
+    cap = 512
+    zyx = np.unique(
+        np.stack([rng.integers(0, g, 400) for g in grid], 1), axis=0
+    )
+    n = zyx.shape[0]
+    coords = np.full((cap, 4), -1, np.int32)
+    coords[:n, 0] = 0
+    coords[:n, 1:] = zyx
+    coords = jnp.asarray(coords)
+    feats = jnp.asarray(rng.normal(size=(cap, 8)).astype(np.float32))
+    feats = jnp.where((coords[:, 0] >= 0)[:, None], feats, 0)
+    st = SparseTensor(feats, coords, grid, 1)
+    nbr = build_neighbor_map(st, 3)
+    w = jnp.asarray(rng.normal(size=(27, 8, 12)).astype(np.float32))
+
+    def loss_custom(f, w):
+        out = subm_conv_apply(f, nbr, w)
+        return jnp.sum(jnp.sin(jnp.where((coords[:, 0] >= 0)[:, None], out, 0)))
+
+    def loss_ref(f, w):
+        out = _gather_gemm(f, nbr, w)
+        return jnp.sum(jnp.sin(jnp.where((coords[:, 0] >= 0)[:, None], out, 0)))
+
+    gc = jax.grad(loss_custom, argnums=(0, 1))(feats, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(gc[0], gr[0], atol=1e-4)
+    np.testing.assert_allclose(gc[1], gr[1], atol=1e-4)
+
+    w2 = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+
+    def loss_down(f, w2):
+        out = sparse_conv_downsample(
+            SparseTensor(f, coords, grid, 1), w2, None, kernel=3, stride=2,
+            padding=1, max_out=256,
+        )
+        return jnp.sum(jnp.cos(out.features))
+
+    def loss_down_ref(f, w2):
+        oc, rows, _, _ = _downsample_gather_map(
+            coords, grid=grid, batch_size=1, kernel=(3, 3, 3),
+            stride=(2, 2, 2), padding=(1, 1, 1), max_out=256,
+        )
+        out = _gather_gemm(f, rows, w2)
+        return jnp.sum(jnp.cos(jnp.where((oc[:, 0] >= 0)[:, None], out, 0)))
+
+    gc = jax.grad(loss_down, argnums=(0, 1))(feats, w2)
+    gr = jax.grad(loss_down_ref, argnums=(0, 1))(feats, w2)
+    np.testing.assert_allclose(gc[0], gr[0], atol=1e-4)
+    np.testing.assert_allclose(gc[1], gr[1], atol=1e-4)
