@@ -29,8 +29,12 @@ carries (the candidate buffer) cost a VMEM copy per iteration (~10x);
 (~25us per (chunk, band) even via an early-exit threshold chain), ~100ms
 total at the ~4k extraction events any compact-chunk tiling needs — only
 ~1.4x under this implementation, and exact only with data-dependent span
-caps. A fundamentally cheaper exact small-k selection primitive is the
-prerequisite for a kernel win here.
+caps. A second attempt (fully static per-cell work items, scalar-prefetch
+block routing, unconditional 16-round threshold chains on (64, 128)
+tiles) measured ~24us per item — the nsample-deep serial reduce chain is
+latency-bound no matter the tiling, and clustered data overflows any
+static item cap. A fundamentally cheaper exact small-k selection
+primitive is the prerequisite for a kernel win here.
 """
 
 from __future__ import annotations
