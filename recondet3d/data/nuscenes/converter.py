@@ -162,6 +162,7 @@ def _fill_trainval_infos(
         info["valid_flag"] = npts > 0
 
         scene = nusc.get("scene", sample["scene_token"])
+        info["scene_name"] = scene["name"]
         if scene["name"] in train_scenes:
             train_infos.append(info)
         elif scene["name"] in val_scenes:

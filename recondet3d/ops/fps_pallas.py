@@ -12,16 +12,20 @@ respoint_post_processing.py FPSDownsample/BallQueryDownsample). Here one
 - the previously selected index is carried in SMEM scratch;
 - each grid step is one fused VPU pass over the resident points;
 - **block pruning** (exact): the caller spatially sorts the points and
-  passes per-block bounding boxes; each step skips any block whose
+  passes per-block bounding boxes; a step skips any block whose
   point-to-AABB distance from the newly selected point is >= the block's
   tracked max min-distance — the update ``dist = min(dist, d)`` provably
-  cannot change anything there. The per-block max/argmax carried in SMEM
-  also replaces the global argmax sweep for skipped blocks. As selection
-  densifies, the update radius shrinks and most blocks are skipped
-  (measured ~2.5-3x at nuScenes scales on top of the fused sweep).
+  cannot change anything there. Blocks are organized in a two-level
+  tournament (groups of _GROUP with union AABBs + cached group maxima in
+  SMEM), so the per-selection scalar sweep visits ~n_blocks/_GROUP
+  groups instead of every block — the flat sweep's scalar iterations
+  (~80ns each) dominated at nuScenes sizes;
+- ``_SEL_PER_STEP`` selections run per grid step to amortize the Mosaic
+  pipeline cost per step.
 
-VMEM budget: N*16 bytes (xyz + min-dist, fp32) — N up to ~850k on a
-v5e. Selection matches recondet3d.ops.sampling.furthest_point_sample_xla
+VMEM budget: N*16 bytes (xyz + min-dist, fp32) — N up to ~5M within the
+120MB limit used here (25k from 2.7M measured at ~115ms on v5e).
+Selection matches recondet3d.ops.sampling.furthest_point_sample_xla
 up to tie-breaking on equal distances (the spatial pre-sort permutes
 which of two exactly-equidistant points wins).
 """

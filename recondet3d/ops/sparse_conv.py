@@ -7,23 +7,23 @@ reordering.cu.h; python API ops/spconv/conv.py:48-405 SubMConv3d /
 SparseConv3d and structure.py SparseConvTensor).
 
 Design (no hash tables, no dynamic shapes) — shaped by measured v5e
-behavior: XLA row-GATHERS run ~4 GB/s on TPU while row SCATTER-ADDs run
-~10x faster, and ``searchsorted`` is scalar-bound. Hence:
+behavior (element gathers ~linear in query count, scatters ~25x cheaper,
+argsort and ``searchsorted`` far behind a dense table):
 
 - Active voxels live in fixed-capacity buffers: features (N, C) + coords
   (N, 4) [b, z, y, x] with invalid rows marked by coords < 0.
-- Neighbor maps are built by ONE merged stable sort of {active ids} ∪
-  {candidate neighbor ids} with a running 'last active row' scan — no
-  binary searches. Maps are built once per active-set and shared by every
-  submanifold conv in a stage (the reference reuses 'indice keys' the
-  same way).
-- Convolution = one MXU GEMM (N, C) @ (C, K*Cout) followed by K row
-  scatter-adds at the INVERSE kernel offsets (mathematically identical to
-  the gather form because the submanifold neighbor relation is symmetric
-  on the active set).
-- Strided convs derive the output active set with a sort-unique over the
-  (N*K) candidate parents; the scatter rows fall out of the same sort for
-  free.
+- Submanifold neighbor maps use a dense cell-id -> row table; only the
+  (K-1)//2 lexicographically-negative offsets are looked up — the mirror
+  half comes from the relation's symmetry via one transpose-scatter.
+  Maps are built once per active set and shared by every subm conv in a
+  stage (the reference reuses 'indice keys' the same way).
+- Strided convs enumerate each input voxel's <= prod((k-1)//s + 1)
+  candidate output parents (8 for k3/s2, not 27), dedup/rank them with an
+  occupancy scatter + cumsum over the OUTPUT grid, and build the gather
+  map by transpose-scatter — no input-grid table at all.
+- Convolution = one (N, K) row gather + one MXU GEMM; the backward also
+  runs in gather form through a custom VJP (mirrored weights for subm,
+  an explicitly built inverse map for strided convs).
 
 All functions are jittable; output active counts are traced scalars.
 """
@@ -239,8 +239,6 @@ def _conv_core_fwd(features, gather_map, bwd_map, weight, flip_bwd):
 
 
 def _conv_core_bwd(flip_bwd, res, g):
-    import numpy as _np
-
     features, gather_map, bwd_map, weight = res
     wb = jnp.flip(weight, 0) if flip_bwd else weight
     wb = wb.transpose(0, 2, 1)  # (K, Cout, Cin)
@@ -258,8 +256,8 @@ def _conv_core_bwd(flip_bwd, res, g):
         g.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ).astype(weight.dtype)
-    zmap = _np.zeros(gather_map.shape, jax.dtypes.float0)
-    zmap_b = _np.zeros(bwd_map.shape, jax.dtypes.float0)
+    zmap = np.zeros(gather_map.shape, jax.dtypes.float0)
+    zmap_b = np.zeros(bwd_map.shape, jax.dtypes.float0)
     return df, zmap, zmap_b, dw
 
 
@@ -293,16 +291,7 @@ def subm_conv_apply(
 def gathered_conv_apply(features, gather_map, weight, bias=None):
     """Gather-form conv for asymmetric maps (M, K) — used by tests and as
     the generic fallback."""
-    N, Cin = features.shape
-    M, K = gather_map.shape
-    padded = jnp.concatenate([features, jnp.zeros((1, Cin), features.dtype)], axis=0)
-    gathered = padded[gather_map]  # (M, K, Cin)
-    out = jax.lax.dot_general(
-        gathered.reshape(M, K * Cin),
-        weight.astype(features.dtype).reshape(K * Cin, -1),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(features.dtype)
+    out = _gather_gemm(features, gather_map, weight)
     if bias is not None:
         out = out + bias.astype(features.dtype)
     return out

@@ -32,14 +32,18 @@ def sync(o):
     )
 
 
+_DISPATCH_MS = 24.0  # fixed tunnel dispatch+sync round trip (CLAUDE.md)
+
+
 def timeit(name, fn, *args, iters=5):
-    out = fn(*args)
-    sync(jax.tree_util.tree_map(lambda x: x.sum(), out))
+    for _ in range(2):  # compile + donation-setup warmups
+        out = fn(*args)
+        sync(jax.tree_util.tree_map(lambda x: x.sum(), out))
     t0 = time.time()
     for _ in range(iters):
         out = fn(*args)
         sync(jax.tree_util.tree_map(lambda x: x.sum(), out))
-    dt = (time.time() - t0) / iters * 1000
+    dt = (time.time() - t0) / iters * 1000 - _DISPATCH_MS
     print(f"{name:30s} {dt:8.1f} ms")
     return out
 
@@ -140,8 +144,9 @@ def main():
         )
 
     fwd = jax.jit(_run)
-    out = fwd(variables, img_j, c2l_j)
-    sync(out)
+    for _ in range(2):
+        out = fwd(variables, img_j, c2l_j)
+        sync(out)
     t0 = time.time()
     for _ in range(iters):
         out = fwd(variables, img_j, c2l_j)

@@ -174,3 +174,36 @@ def test_nuimages_coco_export(tmp_path):
     assert a["bbox"] == [10, 20, 100, 50]
     assert a["segmentation"]["counts"] == "abc"
     assert coco["categories"][a["category_id"]]["name"] == "car"
+
+
+def test_custom_eval_set_restricts_scoring(tmp_path):
+    """custom_eval_set restricts evaluate() to the tokens/scene names in
+    {data_root}/splits/{name}.json (reference: nuscenes_dataset.py:449-461
+    maps it to a devkit eval-set split)."""
+    import json
+
+    root = str(tmp_path / "nusc")
+    make_fixture(root)
+    create_nuscenes_infos(root, "ces", version="v1.0-mini")
+    ann = os.path.join(root, "ces_infos_train.pkl")
+    ds = NuScenesDataset(ann_file=ann, data_root=root)
+    assert "scene_name" in ds.data_infos[0]
+
+    results = []
+    for i in range(len(ds)):
+        a = ds.get_ann_info(i)
+        results.append(dict(
+            boxes_3d=a["gt_bboxes_3d"],
+            scores_3d=np.ones(len(a["gt_bboxes_3d"])),
+            labels_3d=a["gt_labels_3d"],
+        ))
+
+    os.makedirs(os.path.join(root, "splits"), exist_ok=True)
+    for keep in ([ds.data_infos[0]["token"]], [ds.data_infos[0]["scene_name"]]):
+        with open(os.path.join(root, "splits", "sub.json"), "w") as f:
+            json.dump(keep, f)
+        ds_sub = NuScenesDataset(
+            ann_file=ann, data_root=root, custom_eval_set="sub"
+        )
+        m = ds_sub.evaluate(results)
+        assert m["pts_bbox_NuScenes/mAP"] > 0.99
