@@ -39,31 +39,52 @@ def build_model_from_cfg(cfg):
     m = cfg["model"]
     rb = m["reconstruction_backbone"]
     da3 = build_da3(rb.get("pretrained", "da3-large"), dtype=jnp.bfloat16)
-    ref_cfg = rb.get("refinement", {}) or {}
-    refinement = SparseRefinement(
-        point_cloud_range=tuple(ref_cfg.get("point_cloud_range",
-                                            (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0))),
-        voxel_size=tuple(ref_cfg.get("voxel_size", (0.075, 0.075, 0.2))),
-        max_voxels=int(ref_cfg.get("max_voxels", 40960)),
-        occ_feature_shape=tuple(ref_cfg.get("occ_feature_shape", (180, 180, 32))),
-        loss_type=ref_cfg.get("loss_type", "bce"),
-        occupancy_loss_weight=float(ref_cfg.get("occupancy_loss_weight", 10.0)),
-        stage_caps=tuple(ref_cfg.get("stage_caps", (40960, 32768, 24576, 16384))),
-    )
-    backbone = ReconstructionBackbone(
-        da3=da3,
-        refinement=refinement,
-        num_points=int(rb.get("num_points", 40000)),
-        bq_anchor_points=int(rb.get("bq_anchor_points", 25000)),
-        max_depth=float(rb.get("max_depth", 100.0)),
-    )
+    ref_cfg = dict(rb.get("refinement", {}) or {})
+    ref_cfg.pop("type", None)
+    ref_kwargs = {}
+    for key in ("point_cloud_range", "voxel_size", "occ_feature_shape",
+                "sparse_shape", "unet_channels", "stage_caps", "soft_vfe"):
+        if key in ref_cfg:
+            ref_kwargs[key] = tuple(ref_cfg.pop(key))
+    for key in ("max_num_points", "max_voxels", "occ_max_voxels",
+                "occ_max_num_points", "encoder_out_channels"):
+        if key in ref_cfg:
+            ref_kwargs[key] = int(ref_cfg.pop(key))
+    for key in ("loss_type",):
+        if key in ref_cfg:
+            ref_kwargs[key] = str(ref_cfg.pop(key))
+    for key in ("occupancy_loss_weight", "loss_weight"):
+        if key in ref_cfg:
+            ref_kwargs[key] = float(ref_cfg.pop(key))
+    for key in ("use_color",):
+        if key in ref_cfg:
+            ref_kwargs[key] = bool(ref_cfg.pop(key))
+    ref_kwargs.setdefault("stage_caps", (40960, 32768, 24576, 16384))
+    ref_kwargs.setdefault("max_voxels", 40960)
+    refinement = SparseRefinement(dtype=jnp.bfloat16, **ref_kwargs)
+
+    bk_kwargs = {}
+    for key, cast in (
+        ("process_res", int), ("num_points", int), ("bq_anchor_points", int),
+        ("bq_sample_num", int), ("gt_num_points", int),
+        ("max_depth", float), ("bq_max_radius", float),
+        ("ref_view_strategy", str),
+        ("use_ray_pose", bool), ("freeze_da3", bool),
+    ):
+        if key in rb:
+            bk_kwargs[key] = cast(rb[key])
+    if "filter_range" in rb:
+        bk_kwargs["filter_range"] = tuple(rb["filter_range"])
+    backbone = ReconstructionBackbone(da3=da3, refinement=refinement, **bk_kwargs)
     return ResDet3D(reconstruction_backbone=backbone)
 
 
 def data_iterator(dataset, num_points_gt: int, img_hw, n_cams: int, epochs: int,
-                  prefetch_threads: int = 4):
-    """Host-side loader: images + cam2lidar + padded GT points. Lidar bins
-    are prefetched one sample ahead on the native C++ thread pool
+                  prefetch_threads: int = 4, batch_size: int = 1):
+    """Host-side loader: images + cam2lidar + padded GT points, collated
+    into global batches of ``batch_size`` (= the mesh's data-axis size,
+    so each device gets one sample — the DDP contract). Lidar bins are
+    prefetched one sample ahead on the native C++ thread pool
     (recondet3d/native.py PrefetchLoader — the mmcv dataloader-worker
     equivalent); image decode runs through cv2 (GIL-free)."""
     import cv2
@@ -85,6 +106,7 @@ def data_iterator(dataset, num_points_gt: int, img_hw, n_cams: int, epochs: int,
             yield from range(len(dataset))
 
     pending = None  # (tid, idx) prefetched lidar read
+    bucket = []
     idx_iter = order()
     nxt = next(idx_iter, None)
     while nxt is not None:
@@ -115,7 +137,16 @@ def data_iterator(dataset, num_points_gt: int, img_hw, n_cams: int, epochs: int,
         gt = np.zeros((1, num_points_gt, 3), np.float32)
         n = min(len(pts), num_points_gt)
         gt[0, :n] = pts[:n]
-        yield dict(img=img, cam2lidar_rts=c2l, gt_points=gt)
+        sample = dict(img=img, cam2lidar_rts=c2l, gt_points=gt)
+        if batch_size == 1:
+            yield sample
+            continue
+        bucket.append(sample)
+        if len(bucket) == batch_size:
+            yield {
+                k: np.concatenate([s[k] for s in bucket]) for k in bucket[0]
+            }
+            bucket = []
 
 
 def main(argv=None):
@@ -164,8 +195,11 @@ def main(argv=None):
         mesh=mesh, work_dir=work_dir, checkpoint_interval=len(dataset),
     )
 
+    bs = mesh.shape["data"]
+    # enough passes over the data to fill total_steps global batches
+    epochs_needed = max(total_epochs, -(-total_steps * bs // max(len(dataset), 1)))
     it = data_iterator(dataset, num_points_gt=40000, img_hw=(900, 1600),
-                       n_cams=6, epochs=total_epochs)
+                       n_cams=6, epochs=epochs_needed, batch_size=bs)
     first = next(it)
     state = trainer.init_state(jax.random.PRNGKey(args.seed), first)
     if args.resume_from:

@@ -170,10 +170,11 @@ def apply_overrides(cfg: dict, overrides: Dict[str, Any]) -> dict:
 
 def load_py_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> ConfigDict:
     """Load a python config file (mmcv-style: module-level names become keys)."""
-    namespace: Dict[str, Any] = {}
+    namespace: Dict[str, Any] = {"__file__": os.path.abspath(path)}
     with open(path) as f:
         code = f.read()
     exec(compile(code, path, "exec"), namespace)  # noqa: S102
+    namespace.pop("__file__", None)
     cfg = {
         k: v
         for k, v in namespace.items()
