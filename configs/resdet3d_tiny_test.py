@@ -58,6 +58,12 @@ data = dict(
         data_root=data_root,
         classes=class_names,
     ),
+    test=dict(
+        type="NuScenesDataset",
+        ann_file=data_root + "tiny_infos_train.pkl",
+        data_root=data_root,
+        classes=class_names,
+    ),
 )
 
 optimizer = dict(type="AdamW", lr=1e-3, weight_decay=0.01)

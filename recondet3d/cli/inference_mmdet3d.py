@@ -22,6 +22,7 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--out-dir", default="output")
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args(argv)
 
 
@@ -36,7 +37,8 @@ def main(argv=None):
     from recondet3d.train import load_checkpoint
 
     args = parse_args(argv)
-    cfg = load_py_config(args.config)
+    overrides = dict(kv.split("=", 1) for kv in args.cfg_options)
+    cfg = load_py_config(args.config, overrides)
     model = build_model_from_cfg(cfg)
 
     dcfg = cfg["data"]["test"]

@@ -18,6 +18,7 @@ def parse_args(argv=None):
     p.add_argument("config")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--cfg-options", nargs="*", default=[])
     p.add_argument("--eval", default="bbox")
     return p.parse_args(argv)
 
@@ -32,7 +33,8 @@ def main(argv=None):
     from recondet3d.train import load_checkpoint
 
     args = parse_args(argv)
-    cfg = load_py_config(args.config)
+    overrides = dict(kv.split("=", 1) for kv in args.cfg_options)
+    cfg = load_py_config(args.config, overrides)
     model = build_model_from_cfg(cfg)
     if model.pts_bbox_head is None:
         raise SystemExit(

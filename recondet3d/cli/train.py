@@ -76,7 +76,22 @@ def build_model_from_cfg(cfg):
     if "filter_range" in rb:
         bk_kwargs["filter_range"] = tuple(rb["filter_range"])
     backbone = ReconstructionBackbone(da3=da3, refinement=refinement, **bk_kwargs)
-    return ResDet3D(reconstruction_backbone=backbone)
+
+    head = None
+    head_cfg = dict(m.get("pts_bbox_head") or {})
+    if head_cfg:
+        from recondet3d.models.detect import CenterHead
+
+        kind = head_cfg.pop("type", "CenterHead")
+        if kind != "CenterHead":
+            raise ValueError(f"unsupported pts_bbox_head type {kind!r}")
+        for key in ("point_cloud_range", "voxel_size", "code_weights"):
+            if key in head_cfg:
+                head_cfg[key] = tuple(head_cfg[key])
+        if "tasks" in head_cfg:
+            head_cfg["tasks"] = tuple(tuple(t) for t in head_cfg["tasks"])
+        head = CenterHead(**head_cfg)
+    return ResDet3D(reconstruction_backbone=backbone, pts_bbox_head=head)
 
 
 def data_iterator(dataset, num_points_gt: int, img_hw, n_cams: int, epochs: int,
