@@ -91,11 +91,14 @@ def build_model_from_cfg(cfg):
         if "tasks" in head_cfg:
             head_cfg["tasks"] = tuple(tuple(t) for t in head_cfg["tasks"])
         head = CenterHead(**head_cfg)
-    return ResDet3D(reconstruction_backbone=backbone, pts_bbox_head=head)
+    class_names = tuple(cfg.get("class_names") or ()) or None
+    return ResDet3D(reconstruction_backbone=backbone, pts_bbox_head=head,
+                    class_names=class_names)
 
 
 def data_iterator(dataset, num_points_gt: int, img_hw, n_cams: int, epochs: int,
-                  prefetch_threads: int = 4, batch_size: int = 1):
+                  prefetch_threads: int = 4, batch_size: int = 1,
+                  max_objs: int = 0):
     """Host-side loader: images + cam2lidar + padded GT points, collated
     into global batches of ``batch_size`` (= the mesh's data-axis size,
     so each device gets one sample — the DDP contract). Lidar bins are
@@ -153,6 +156,21 @@ def data_iterator(dataset, num_points_gt: int, img_hw, n_cams: int, epochs: int,
         n = min(len(pts), num_points_gt)
         gt[0, :n] = pts[:n]
         sample = dict(img=img, cam2lidar_rts=c2l, gt_points=gt)
+        if max_objs > 0:  # detection-head training: padded GT boxes
+            ann = dataset.get_ann_info(i)
+            boxes = np.asarray(ann["gt_bboxes_3d"], np.float32).reshape(-1, 9) \
+                if len(ann["gt_bboxes_3d"]) else np.zeros((0, 9), np.float32)
+            labels = np.asarray(ann["gt_labels_3d"], np.int64).reshape(-1)
+            keep = labels >= 0
+            boxes, labels = boxes[keep][:max_objs], labels[keep][:max_objs]
+            nb = len(boxes)
+            bb = np.zeros((1, max_objs, 9), np.float32)
+            ll = np.zeros((1, max_objs), np.int32)
+            vv = np.zeros((1, max_objs), bool)
+            bb[0, :nb] = boxes
+            ll[0, :nb] = labels[:nb]
+            vv[0, :nb] = True
+            sample.update(gt_bboxes_3d=bb, gt_labels_3d=ll, gt_bboxes_valid=vv)
         if batch_size == 1:
             yield sample
             continue
@@ -213,8 +231,13 @@ def main(argv=None):
     bs = mesh.shape["data"]
     # enough passes over the data to fill total_steps global batches
     epochs_needed = max(total_epochs, -(-total_steps * bs // max(len(dataset), 1)))
+    max_objs = (
+        int(model.pts_bbox_head.max_objs)
+        if model.pts_bbox_head is not None else 0
+    )
     it = data_iterator(dataset, num_points_gt=40000, img_hw=(900, 1600),
-                       n_cams=6, epochs=epochs_needed, batch_size=bs)
+                       n_cams=6, epochs=epochs_needed, batch_size=bs,
+                       max_objs=max_objs)
     first = next(it)
     state = trainer.init_state(jax.random.PRNGKey(args.seed), first)
     if args.resume_from:

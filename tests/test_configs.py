@@ -62,3 +62,23 @@ def test_train_cli_end_to_end(tmp_path):
     from recondet3d.train import latest_checkpoint
 
     assert latest_checkpoint(work) is not None
+
+
+def test_train_cli_detection_head_end_to_end(tmp_path):
+    """One optimizer step with the CenterHead enabled: GT boxes flow from
+    the dataset through the loader into the head's target/loss path."""
+    root = str(tmp_path / "nusc")
+    make_fixture(root)
+    from recondet3d.data.nuscenes.converter import create_nuscenes_infos
+
+    create_nuscenes_infos(root, "tiny", version="v1.0-mini")
+    work = str(tmp_path / "work")
+    rc = train_main([
+        os.path.join(REPO, "configs", "resdet3d_tiny_centerhead_test.py"),
+        "--work-dir", work,
+        "--max-steps", "1",
+        "--cfg-options",
+        f"data.train.ann_file={os.path.join(root, 'tiny_infos_train.pkl')}",
+        f"data.train.data_root={root}",
+    ])
+    assert rc == 0
