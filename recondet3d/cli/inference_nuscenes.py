@@ -35,6 +35,7 @@ def parse_args(argv=None):
     p.add_argument("--num-points", type=int, default=40000)
     p.add_argument("--anchor-points", type=int, default=25000)
     p.add_argument("--voxel-size", type=float, default=0.1)
+    p.add_argument("--process-res", type=int, default=504)
     return p.parse_args(argv)
 
 
@@ -70,7 +71,7 @@ def run_inference_for_frame(model, cam_infos, args):
     from recondet3d.data.pipelines.point_pipeline import PointPipeline
 
     paths = [cam_infos[c]["data_path"] for c in CAM_TYPES if c in cam_infos]
-    pred = model.inference(paths)
+    pred = model.inference(paths, process_res=args.process_res)
 
     all_pts = []
     N, H, W = pred.depth.shape

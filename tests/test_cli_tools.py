@@ -65,3 +65,20 @@ def test_test_cli_detection_eval(nusc_root, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "NDS" in out
+
+
+def test_inference_nuscenes_cli(nusc_root, tmp_path):
+    """The devkit-style per-sample DA3 inference path (the reference's
+    tools/inference_nuscenes.py intent): raw tables -> DA3 (random-init
+    da3-small) -> GT-extrinsics fusion -> downsample pipeline -> PCD."""
+    from recondet3d.cli.inference_nuscenes import main
+
+    out = str(tmp_path / "out")
+    rc = main([
+        "--dataroot", nusc_root, "--model", "da3-small",
+        "--out-dir", out, "--max-samples", "1", "--process-res", "56",
+        "--num-points", "256", "--anchor-points", "64",
+        "--max-depth", "20",
+    ])
+    assert rc in (0, None)
+    assert os.path.exists(os.path.join(out, "sample_0_points.pcd"))
