@@ -82,3 +82,29 @@ def test_inference_nuscenes_cli(nusc_root, tmp_path):
     ])
     assert rc in (0, None)
     assert os.path.exists(os.path.join(out, "sample_0_points.pcd"))
+
+
+def test_da3_cli_auto_images(tmp_path):
+    """`da3 auto <dir>` with a random-init small preset: input detection,
+    inference, and export dispatch (reference: cli.py:45-176)."""
+    import cv2
+
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        cv2.imwrite(os.path.join(d, f"im{i}.jpg"),
+                    rng.integers(0, 255, (120, 160, 3), np.uint8))
+    from recondet3d.cli.da3 import main
+
+    out = str(tmp_path / "exp")
+    rc = main([
+        "auto", d, "--model", "da3-small", "--export-dir", out,
+        "--export-format", "mini_npz-depth_vis", "--process-res", "56",
+    ])
+    assert rc == 0
+    files = []
+    for r, _, fs in os.walk(out):
+        files += [os.path.join(r, f) for f in fs]
+    assert any(f.endswith(".npz") for f in files)
+    assert any(f.endswith(".png") or f.endswith(".jpg") for f in files)
