@@ -22,6 +22,10 @@ def parse_args(argv=None):
     p.add_argument("--work-dir", default=None)
     p.add_argument("--resume-from", default=None)
     p.add_argument("--seed", type=int, default=0)
+    # accepted for reference-CLI parity (train_mmdet3d.py:92-94); the TPU
+    # stack is already deterministic: jittable ops are pure, voxelization
+    # always uses the deterministic formulation, and all randomness flows
+    # from the --seed PRNG key
     p.add_argument("--deterministic", action="store_true")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--autoscale-lr", action="store_true")
