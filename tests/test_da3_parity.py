@@ -196,3 +196,40 @@ def test_metric_net_parity():
     np.testing.assert_allclose(
         np.asarray(jout["sky"]), tout["sky"].numpy(), atol=1e-3, rtol=1e-2
     )
+
+
+def test_from_pretrained_safetensors_file(net_pair, tmp_path):
+    """The full weight-loading seam: torch state dict -> .safetensors file
+    on disk -> DepthAnything3.from_pretrained(checkpoint=...) -> depth
+    output identical to applying the directly-converted params."""
+    from safetensors.numpy import save_file
+
+    from recondet3d.api import DepthAnything3
+
+    tnet, jnet, params = net_pair
+    sd = {
+        k: np.ascontiguousarray(v) for k, v in _state_dict(tnet).items()
+    }
+    path = str(tmp_path / "model.safetensors")
+    save_file(sd, path)
+
+    model = DepthAnything3.from_pretrained(
+        "da3-small", cache_dir=str(tmp_path / "none"), checkpoint=path
+    )
+    assert not model.random_init
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (1, 2, 28, 28, 3)).astype(np.float32)
+    out_loaded = model.model.apply(
+        model.params, jnp.asarray(img), use_ray_pose=False,
+        ref_view_strategy="first",
+    )
+    out_direct = jnet.apply(
+        params, jnp.asarray(img), use_ray_pose=False,
+        ref_view_strategy="first",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_loaded["depth"], np.float32),
+        np.asarray(out_direct["depth"], np.float32),
+        rtol=1e-4, atol=1e-5,
+    )
