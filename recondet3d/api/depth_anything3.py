@@ -97,6 +97,8 @@ class DepthAnything3:
         )(jax.random.PRNGKey(0))
 
         ckpt_path = checkpoint or cls._find_checkpoint(name, cache_dir)
+        if ckpt_path is None and "/" in name:
+            ckpt_path = cls._download_checkpoint(name, cache_dir)
         random_init = True
         if ckpt_path is not None:
             from recondet3d.api.weights import convert_torch_state_dict, load_safetensors
@@ -113,6 +115,25 @@ class DepthAnything3:
                 "running with random weights (depth values will be meaningless)"
             )
         return cls(model, params, name, random_init=random_init)
+
+    @staticmethod
+    def _download_checkpoint(repo_id: str, cache_dir: str) -> Optional[str]:
+        """Fetch model.safetensors from the HF hub into the cache (the
+        reference downloads via PyTorchModelHubMixin, api.py:28-90).
+        Returns None on any failure (offline, missing dep, unknown repo)
+        so callers fall back to random init with a warning."""
+        try:
+            from huggingface_hub import hf_hub_download
+        except Exception:
+            return None
+        try:
+            return hf_hub_download(
+                repo_id=repo_id, filename="model.safetensors",
+                cache_dir=cache_dir,
+            )
+        except Exception as e:  # offline / auth / 404
+            logger.warning(f"HF hub download failed for {repo_id!r}: {e}")
+            return None
 
     @staticmethod
     def _find_checkpoint(name: str, cache_dir: str) -> Optional[str]:
