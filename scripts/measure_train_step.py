@@ -66,9 +66,13 @@ def main():
               file=sys.stderr)
 
     t0 = time.time()
-    for _ in range(iters):
+    for it in range(iters):
         state, metrics = step(state, sb)
         loss = float(metrics["loss"])  # device_get sync each step
+        if iters > 20 and (it % 10 == 0 or it == iters - 1):
+            print(f"  step {it}: loss={loss:.4f} "
+                  f"grad_norm={float(metrics['grad_norm']):.4f}",
+                  file=sys.stderr, flush=True)
     dt = (time.time() - t0) / iters
     print(f"train step: {dt*1000:.1f} ms/step  loss={loss:.4f} "
           f"grad_norm={float(metrics['grad_norm']):.4f}")
