@@ -108,3 +108,49 @@ def test_da3_cli_auto_images(tmp_path):
         files += [os.path.join(r, f) for f in fs]
     assert any(f.endswith(".npz") for f in files)
     assert any(f.endswith(".png") or f.endswith(".jpg") for f in files)
+
+
+def test_vis_occupancy_hook_to_cli(tmp_path):
+    """Producer-consumer contract: OccupancyDebugHook dump -> vis CLI
+    heatmaps (the reference's SparseRefinement pickle dumps ->
+    tools/vis_coord_features.py path)."""
+    from recondet3d.cli.vis_occupancy import main
+    from recondet3d.train.hooks import OccupancyDebugHook
+
+    rng = np.random.default_rng(0)
+    dbg = str(tmp_path / "dbg")
+    aux = dict(
+        occupancy_logits=rng.normal(size=(1, 20, 20, 8)).astype(np.float32),
+        gt_occupancy_map=rng.uniform(0, 1, (1, 20, 20, 8)).astype(np.float32),
+    )
+    hook = OccupancyDebugHook(dbg, interval=10, aux_fn=lambda: aux)
+    hook(10, None, {})
+    assert any(f.startswith("debug_iter_") for f in os.listdir(dbg))
+
+    out = str(tmp_path / "vis")
+    rc = main([dbg, "--out-dir", out])
+    assert rc in (0, None)
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert any("pseudo" in f for f in pngs) and any("gt" in f for f in pngs)
+
+
+def test_gt_vis_cli(tmp_path):
+    """Lidar .bin -> BEV scatter image (reference tools/gt_vis.py)."""
+    rng = np.random.default_rng(0)
+    binp = str(tmp_path / "000001.bin")
+    rng.uniform(-30, 30, (5000, 5)).astype(np.float32).tofile(binp)
+    from recondet3d.cli.gt_vis import main
+
+    out = str(tmp_path / "gtv")
+    rc = main([binp, "--out-dir", out])
+    assert rc in (0, None)
+    assert os.listdir(out)
+
+
+def test_check_model_memory_cli(capsys):
+    from recondet3d.cli.check_model_memory import main
+
+    rc = main([os.path.join(REPO, "configs", "resdet3d_tiny_test.py")])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert "param" in out.lower() or "MB" in out
