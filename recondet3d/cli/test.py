@@ -28,12 +28,12 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from recondet3d.cli.train import build_model_from_cfg, data_iterator
-    from recondet3d.core.config import load_py_config
+    from recondet3d.core.config import load_py_config, parse_cli_overrides
     from recondet3d.data.nuscenes import NuScenesDataset
     from recondet3d.train import load_checkpoint
 
     args = parse_args(argv)
-    overrides = dict(kv.split("=", 1) for kv in args.cfg_options)
+    overrides = parse_cli_overrides(args.cfg_options)
     cfg = load_py_config(args.config, overrides)
     model = build_model_from_cfg(cfg)
     if model.pts_bbox_head is None:
@@ -45,6 +45,7 @@ def main(argv=None):
     dataset = NuScenesDataset(
         ann_file=dcfg["ann_file"], data_root=dcfg.get("data_root", ""),
         classes=dcfg.get("classes"), test_mode=True,
+        custom_eval_set=dcfg.get("custom_eval_set"),
     )
 
     it = data_iterator(dataset, num_points_gt=8, img_hw=(900, 1600),

@@ -42,7 +42,11 @@ def build_model_from_cfg(cfg):
 
     m = cfg["model"]
     rb = m["reconstruction_backbone"]
-    da3 = build_da3(rb.get("pretrained", "da3-large"), dtype=jnp.bfloat16)
+    # computation dtype for DA3 + the refinement trunk (params/BN stats
+    # stay f32 either way); configs default to bf16 — the production TPU
+    # setting every shipped number was measured with
+    dtype = getattr(jnp, str(cfg.get("compute_dtype", "bfloat16")))
+    da3 = build_da3(rb.get("pretrained", "da3-large"), dtype=dtype)
     ref_cfg = dict(rb.get("refinement", {}) or {})
     ref_cfg.pop("type", None)
     ref_kwargs = {}
@@ -65,7 +69,7 @@ def build_model_from_cfg(cfg):
             ref_kwargs[key] = bool(ref_cfg.pop(key))
     ref_kwargs.setdefault("stage_caps", (40960, 32768, 24576, 16384))
     ref_kwargs.setdefault("max_voxels", 40960)
-    refinement = SparseRefinement(dtype=jnp.bfloat16, **ref_kwargs)
+    refinement = SparseRefinement(dtype=dtype, **ref_kwargs)
 
     bk_kwargs = {}
     for key, cast in (
@@ -189,7 +193,7 @@ def data_iterator(dataset, num_points_gt: int, img_hw, n_cams: int, epochs: int,
 def main(argv=None):
     import jax
 
-    from recondet3d.core.config import apply_overrides, load_py_config
+    from recondet3d.core.config import load_py_config, parse_cli_overrides
     from recondet3d.data.nuscenes import NuScenesDataset
     from recondet3d.parallel import autoscale_lr, make_mesh
     from recondet3d.train import Trainer, latest_checkpoint, load_checkpoint
@@ -199,7 +203,7 @@ def main(argv=None):
     init_distributed()  # no-op on single host
 
     args = parse_args(argv)
-    overrides = dict(kv.split("=", 1) for kv in args.cfg_options)
+    overrides = parse_cli_overrides(args.cfg_options)
     cfg = load_py_config(args.config, overrides)
     work_dir = args.work_dir or cfg.get("work_dir") or os.path.join(
         "work_dirs", os.path.splitext(os.path.basename(args.config))[0]
@@ -217,9 +221,14 @@ def main(argv=None):
         load_interval=inner.get("load_interval", 1),
     )
     total_epochs = int(cfg.get("total_epochs", 8))
-    total_steps = args.max_steps or (len(dataset) * total_epochs)
-
     mesh = make_mesh()
+    bs = mesh.shape["data"]
+    # one optimizer step consumes a GLOBAL batch of bs samples, so the
+    # configured epochs correspond to len(dataset)*epochs/bs steps (and
+    # the cyclic LR schedule is parameterized by that step count)
+    total_steps = args.max_steps or max(
+        1, -(-len(dataset) * total_epochs // bs)
+    )
     lr = float(cfg.get("optimizer", {}).get("lr", 1e-3))
     if args.autoscale_lr:
         lr = autoscale_lr(lr, 1, mesh)
@@ -229,10 +238,10 @@ def main(argv=None):
         grad_clip=float(
             cfg.get("optimizer_config", {}).get("grad_clip", {}).get("max_norm", 100.0)
         ),
-        mesh=mesh, work_dir=work_dir, checkpoint_interval=len(dataset),
+        mesh=mesh, work_dir=work_dir,
+        checkpoint_interval=max(1, len(dataset) // bs),
     )
 
-    bs = mesh.shape["data"]
     # enough passes over the data to fill total_steps global batches
     epochs_needed = max(total_epochs, -(-total_steps * bs // max(len(dataset), 1)))
     max_objs = (

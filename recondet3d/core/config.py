@@ -26,6 +26,7 @@ __all__ = [
     "create_object",
     "merge_dicts",
     "apply_overrides",
+    "parse_cli_overrides",
     "load_py_config",
 ]
 
@@ -161,10 +162,36 @@ def _set_dotted(cfg: dict, dotted_key: str, value: Any) -> None:
     node[parts[-1]] = value
 
 
+def _parse_override_value(v: Any) -> Any:
+    """Typed parse of a CLI override value: python literals (bools, ints,
+    floats, tuples/lists, None) via literal_eval, anything else stays a
+    string (paths etc.)."""
+    if not isinstance(v, str):
+        return v
+    import ast
+
+    try:
+        return ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        return v
+
+
+def parse_cli_overrides(pairs) -> Dict[str, Any]:
+    """['a.b=1', 'c=x'] -> {'a.b': 1, 'c': 'x'} with typed values (the
+    mmcv DictAction contract; shared by the train/test/inference CLIs)."""
+    out: Dict[str, Any] = {}
+    for kv in pairs or []:
+        if "=" not in kv:
+            raise ValueError(f"--cfg-options entry {kv!r} must be key=value")
+        k, v = kv.split("=", 1)
+        out[k] = _parse_override_value(v)
+    return out
+
+
 def apply_overrides(cfg: dict, overrides: Dict[str, Any]) -> dict:
     """Apply ``--cfg-options``-style dotted-key overrides in place."""
     for k, v in overrides.items():
-        _set_dotted(cfg, k, v)
+        _set_dotted(cfg, k, _parse_override_value(v))
     return cfg
 
 

@@ -43,7 +43,7 @@ def timeit(name, fn, *args, iters=5):
     for _ in range(iters):
         out = fn(*args)
         sync(jax.tree_util.tree_map(lambda x: x.sum(), out))
-    dt = (time.time() - t0) / iters * 1000 - _DISPATCH_MS
+    dt = max(0.0, (time.time() - t0) / iters * 1000 - _DISPATCH_MS)
     print(f"{name:30s} {dt:8.1f} ms")
     return out
 
@@ -151,7 +151,7 @@ def main():
     for _ in range(iters):
         out = fwd(variables, img_j, c2l_j)
         sync(out)
-    dt = (time.time() - t0) / iters * 1000
+    dt = max(1e-3, (time.time() - t0) / iters * 1000 - _DISPATCH_MS)
     print(f"{'TOTAL fused e2e':30s} {dt:8.1f} ms   "
           f"({bench.N_CAMS / (dt / 1000):.2f} frames/s)")
 

@@ -82,3 +82,30 @@ def test_train_cli_detection_head_end_to_end(tmp_path):
         f"data.train.data_root={root}",
     ])
     assert rc == 0
+
+
+def test_cli_override_typing():
+    """--cfg-options values parse as python literals (bools/numbers/lists)
+    and fall back to strings (paths) — bool('False') coercion bugs are the
+    classic failure here."""
+    from recondet3d.core.config import parse_cli_overrides
+
+    ov = parse_cli_overrides([
+        "a.flag=False", "a.n=3", "a.f=1.5", "a.lst=[1,2]",
+        "a.path=/data/x.pkl", "a.s=hello",
+    ])
+    assert ov["a.flag"] is False
+    assert ov["a.n"] == 3 and ov["a.f"] == 1.5
+    assert ov["a.lst"] == [1, 2]
+    assert ov["a.path"] == "/data/x.pkl"
+    assert ov["a.s"] == "hello"
+    with pytest.raises(ValueError):
+        parse_cli_overrides(["noequals"])
+
+    cfg = load_py_config(
+        os.path.join(REPO, "configs", "resdet3d_tiny_test.py"),
+        parse_cli_overrides(
+            ["model.reconstruction_backbone.freeze_da3=False"]
+        ),
+    )
+    assert cfg["model"]["reconstruction_backbone"]["freeze_da3"] is False
