@@ -30,6 +30,7 @@ from recondet3d.data.pipelines.point_pipeline import (
     ball_query_downsample,
     filter_point_by_range,
     fps_downsample,
+    voxel_pre_reduce,
 )
 from recondet3d.models.refine.refinement import SparseRefinement
 from recondet3d.utils.geometry import depth_to_points_cam
@@ -52,6 +53,13 @@ class ReconstructionBackbone(nn.Module):
     bq_sample_num: int = 16
     num_points: int = 40000
     gt_num_points: int = 40000
+    # Voxel-grid pre-reduction ahead of BQ/FPS (the reference config's
+    # sketched VoxelDownsample stage, ResDet3D_nuscenes_mini_config.py:
+    # 134-139, voxel_size=0.1). 0.0 = off (exact reference pipeline);
+    # production configs/bench enable it — it shrinks N ~2.7M -> <=cap
+    # for ~15 ms and makes the downstream BQ/FPS several times cheaper.
+    voxel_pre_reduce: float = 0.0
+    pre_reduce_cap: int = 393216
 
     @property
     def use_color(self) -> bool:
@@ -105,7 +113,16 @@ class ReconstructionBackbone(nn.Module):
         msk = valid.reshape(B, P)
 
         def pipeline(p, m):
-            p, m = filter_point_by_range(p, m, tuple(self.filter_range))
+            if self.voxel_pre_reduce > 0.0:
+                # subsumes the range filter (out-of-grid -> sentinel id)
+                p, m = voxel_pre_reduce(
+                    p, m,
+                    voxel_size=self.voxel_pre_reduce,
+                    point_cloud_range=tuple(self.filter_range),
+                    max_out=min(self.pre_reduce_cap, p.shape[0]),
+                )
+            else:
+                p, m = filter_point_by_range(p, m, tuple(self.filter_range))
             p, m = ball_query_downsample(
                 p, m,
                 anchor_points=self.bq_anchor_points,

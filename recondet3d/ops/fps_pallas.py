@@ -48,7 +48,7 @@ _BLOCK_ROWS = 256
 
 
 _GROUP = 8  # blocks per tournament group
-_SEL_PER_STEP = 4  # selections per grid step (amortizes pipeline cost)
+_SEL_PER_STEP = 8  # selections per grid step (amortizes pipeline cost)
 
 
 def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
@@ -68,7 +68,6 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
     big = jnp.int32(rows * _LANES)
     n_blocks = rows // _BLOCK_ROWS
     n_groups = -(-n_blocks // _GROUP)
-    kidx = jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, 1)
 
     def block_iota(b):
         r = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 0)
@@ -79,13 +78,29 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
         return pl.ds(pl.multiple_of(b * _BLOCK_ROWS, _BLOCK_ROWS), _BLOCK_ROWS)
 
     def extract_coords(pos):
-        """Selected coords from just the block containing ``pos``."""
-        blk = pos // (_BLOCK_ROWS * _LANES)
-        sl = block_slice(blk)
-        sel = (block_iota(blk) == pos).astype(jnp.float32)
+        """Selected coords from an 8-row aligned window around ``pos`` —
+        3 masked reductions over (8, 128) instead of the full
+        (_BLOCK_ROWS, 128) block (~1us/selection saved at 40k picks)."""
+        row = pos // _LANES
+        base8 = (row // 8) * 8
+        sl = pl.ds(pl.multiple_of(base8, 8), 8)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+        sel = (((ii + base8) * _LANES + jj) == pos).astype(jnp.float32)
         coord_ref[0] = jnp.sum(pts_ref[0, sl, :] * sel)
         coord_ref[1] = jnp.sum(pts_ref[1, sl, :] * sel)
         coord_ref[2] = jnp.sum(pts_ref[2, sl, :] * sel)
+
+    def write_idx(k, val):
+        """Write selection ``k`` into the (KROWS, 128) output via an
+        8-row-aligned read-modify-write — a (8, 128) where instead of a
+        full-K-wide vector where per selection."""
+        base8 = ((k // _LANES) // 8) * 8
+        sl = pl.ds(pl.multiple_of(base8, 8), 8)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+        flat = (ii + base8) * _LANES + jj
+        idx_ref[sl, :] = jnp.where(flat == k, val, idx_ref[sl, :])
 
     def aabb_lb2(base, px, py, pz):
         dx = jnp.maximum(
@@ -171,7 +186,7 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
             return jnp.where(take, barg_ref[b], acc)
 
         nxt = jax.lax.fori_loop(0, _GROUP, pick_body, big)
-        idx_ref[:] = jnp.where(kidx == i_sel, nxt, idx_ref[:])
+        write_idx(i_sel, nxt)
         last_ref[0] = nxt
         extract_coords(nxt)
 
@@ -211,7 +226,8 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
         jax.lax.fori_loop(0, n_groups, ginit_body, 0)
 
         first = start_ref[0]
-        idx_ref[:] = jnp.where(kidx == 0, first, 0)
+        idx_ref[:] = jnp.zeros_like(idx_ref)
+        write_idx(0, first)
         last_ref[0] = first
         extract_coords(first)
         for t in range(1, _SEL_PER_STEP):
@@ -304,7 +320,10 @@ def furthest_point_sample_pallas(
         [aabb, jnp.zeros((n_blocks + n_groups, 2), jnp.float32)], axis=1
     ).reshape(-1)  # ((n_blocks + n_groups) * 8,)
 
-    kpad = (-num_samples) % _LANES
+    # output rows padded to a multiple of 8 so the kernel's 8-row-aligned
+    # RMW windows are always in-bounds
+    kpad = (-num_samples) % (_LANES * 8)
+    krows = (num_samples + kpad) // _LANES
     vmem_bytes = (4 * rows * _LANES * 4) + (num_samples + kpad) * 4 + (4 << 20)
 
     idx_sorted = pl.pallas_call(
@@ -317,7 +336,7 @@ def furthest_point_sample_pallas(
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec(
-                (1, num_samples + kpad), lambda i, *_: (0, 0)
+                (krows, _LANES), lambda i, *_: (0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((3, rows, _LANES), jnp.float32),
@@ -330,13 +349,13 @@ def furthest_point_sample_pallas(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((1, num_samples + kpad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((krows, _LANES), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(min(vmem_bytes, 120 * 1024 * 1024)),
         ),
         interpret=interpret,
     )(start, aabb, planes, dist0)
-    idx_sorted = idx_sorted[0, :num_samples]
+    idx_sorted = idx_sorted.reshape(-1)[:num_samples]
     # map sorted positions back to original indices (pad rows can never be
     # selected while any valid point remains)
     order_pad = jnp.pad(order, (0, pad), constant_values=0)

@@ -13,6 +13,7 @@ from recondet3d.data.pipelines.point_pipeline import (
     filter_point_by_range,
     fps_downsample,
     voxel_downsample,
+    voxel_pre_reduce,
 )
 from recondet3d.models.da3 import build_da3
 from recondet3d.models.detect import ReconstructionBackbone, ResDet3D
@@ -64,6 +65,52 @@ def test_voxel_downsample_centroids():
     )
     assert int(np.asarray(m).sum()) == 2
     np.testing.assert_allclose(np.asarray(out)[0], [0.2, 0.1, 0.1], atol=1e-6)
+
+
+def test_voxel_pre_reduce_oracle():
+    """Sort-based pre-reduction == numpy first-valid-point-per-voxel."""
+    rng = np.random.default_rng(7)
+    N = 5000
+    pts = rng.uniform(-9, 9, (N, 4)).astype(np.float32)  # extra channel rides
+    valid = rng.random(N) < 0.9
+    pcr = (-8.0, -8.0, -8.0, 8.0, 8.0, 8.0)
+    vs = 0.5
+    cap = 4096
+
+    out, m = voxel_pre_reduce(
+        jnp.asarray(pts), jnp.asarray(valid),
+        voxel_size=vs, point_cloud_range=pcr, max_out=cap,
+    )
+    out, m = np.asarray(out), np.asarray(m)
+    assert out.shape == (cap, 4) and m.shape == (cap,)
+
+    # numpy oracle: first valid point (input order) per occupied voxel,
+    # ordered by flat voxel id
+    grid = np.floor((np.array(pcr[3:]) - np.array(pcr[:3])) / vs + 1e-4).astype(int)
+    c = np.floor((pts[:, :3] - np.array(pcr[:3], np.float32)) / vs).astype(int)
+    ok = valid & np.all((c >= 0) & (c < grid), axis=1)
+    ids = (c[:, 2] * grid[1] + c[:, 1]) * grid[0] + c[:, 0]
+    first = {}
+    for i in np.flatnonzero(ok):
+        first.setdefault(ids[i], i)
+    want = pts[[first[k] for k in sorted(first)]]
+
+    n = len(want)
+    assert int(m.sum()) == n
+    assert bool(m[:n].all()) and not m[n:].any()
+    np.testing.assert_array_equal(out[:n], want)
+
+    # out-of-range rows were dropped (range filter is subsumed)
+    assert np.all(np.abs(out[:n, :3]) <= 8.0)
+
+    # cap smaller than the leader count: first cap leaders in id order
+    small = 8
+    out2, m2 = voxel_pre_reduce(
+        jnp.asarray(pts), jnp.asarray(valid),
+        voxel_size=vs, point_cloud_range=pcr, max_out=small,
+    )
+    np.testing.assert_array_equal(np.asarray(out2), want[:small])
+    assert bool(np.asarray(m2).all())
 
 
 def test_point_losses():
