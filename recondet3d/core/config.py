@@ -97,19 +97,25 @@ def _resolve_eval(node: Any) -> Any:
 
 def resolve_inheritance(cfg: dict, base_dir: str) -> dict:
     """Resolve ``__inherit__`` chains: value is a path (or list of paths)
-    relative to ``base_dir``; parents are merged in order, child wins."""
+    relative to ``base_dir``; parents are merged in order, child wins.
+    ``__inherit__`` may appear at any nested node (the reference uses this
+    to compose da3nested-giant-large.yaml from the giant + metric-large
+    presets — configs/da3nested-giant-large.yaml)."""
     inherit = cfg.pop("__inherit__", None)
-    if inherit is None:
-        return cfg
-    parents = inherit if isinstance(inherit, list) else [inherit]
-    merged: dict = {}
-    for parent in parents:
-        ppath = parent if os.path.isabs(parent) else os.path.join(base_dir, parent)
-        with open(ppath) as f:
-            pcfg = yaml.safe_load(f) or {}
-        pcfg = resolve_inheritance(pcfg, os.path.dirname(ppath))
-        merged = merge_dicts(merged, pcfg)
-    return merge_dicts(merged, cfg)
+    if inherit is not None:
+        parents = inherit if isinstance(inherit, list) else [inherit]
+        merged: dict = {}
+        for parent in parents:
+            ppath = parent if os.path.isabs(parent) else os.path.join(base_dir, parent)
+            with open(ppath) as f:
+                pcfg = yaml.safe_load(f) or {}
+            pcfg = resolve_inheritance(pcfg, os.path.dirname(ppath))
+            merged = merge_dicts(merged, pcfg)
+        cfg = merge_dicts(merged, cfg)
+    for k, v in list(cfg.items()):
+        if isinstance(v, dict):
+            cfg[k] = resolve_inheritance(v, base_dir)
+    return cfg
 
 
 def load_config(path: str) -> ConfigDict:
@@ -189,9 +195,12 @@ def parse_cli_overrides(pairs) -> Dict[str, Any]:
 
 
 def apply_overrides(cfg: dict, overrides: Dict[str, Any]) -> dict:
-    """Apply ``--cfg-options``-style dotted-key overrides in place."""
+    """Apply dotted-key overrides in place. Values are used as-is: string
+    parsing (``ast.literal_eval``) happens only at the CLI boundary in
+    :func:`parse_cli_overrides`, so programmatic callers keep exact types
+    (a deliberate string ``'None'`` stays a string here)."""
     for k, v in overrides.items():
-        _set_dotted(cfg, k, _parse_override_value(v))
+        _set_dotted(cfg, k, v)
     return cfg
 
 

@@ -106,13 +106,15 @@ def build_da3(name: str, dtype=jnp.bfloat16, attn_impl: str = "auto",
         return _monocular(dtype, attn_impl)
     if key == "da3nested-giant-large":
         cfg = dict(PRESETS["da3-giant"])
-        use_gs = cfg.pop("with_gs", False) if with_gs is None else with_gs
+        preset_gs = cfg.pop("with_gs", False)
+        use_gs = preset_gs if with_gs is None else with_gs
         anyview = _anyview(cfg.pop("vit"), dtype=dtype, attn_impl=attn_impl,
                            with_gs=use_gs, **cfg)
         return NestedDepthAnything3Net(anyview=anyview, metric=_monocular(dtype, attn_impl))
     if key in PRESETS:
         cfg = dict(PRESETS[key])
-        use_gs = cfg.pop("with_gs", False) if with_gs is None else with_gs
+        preset_gs = cfg.pop("with_gs", False)
+        use_gs = preset_gs if with_gs is None else with_gs
         return _anyview(cfg.pop("vit"), dtype=dtype, attn_impl=attn_impl,
                         with_gs=use_gs, **cfg)
     raise KeyError(f"unknown DA3 preset {name!r}; known: {MODEL_REGISTRY}")
