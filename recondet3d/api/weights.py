@@ -122,7 +122,9 @@ def convert_torch_state_dict(
                 v = _convert_tensor(val, tgt_shape, c)
                 if v is None:
                     continue
-                filled[full] = v.astype(np.asarray(target[full]).dtype)
+                # target leaves may be jax.ShapeDtypeStruct (layout-coverage
+                # checks convert against jax.eval_shape trees — no init cost)
+                filled[full] = v.astype(np.dtype(target[full].dtype))
                 used.add(full)
                 placed = True
                 break

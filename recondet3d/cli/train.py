@@ -67,6 +67,11 @@ def build_model_from_cfg(cfg):
     for key in ("use_color",):
         if key in ref_cfg:
             ref_kwargs[key] = bool(ref_cfg.pop(key))
+    if ref_cfg:  # typo'd/unsupported keys must not silently fall to defaults
+        raise ValueError(
+            f"unknown refinement config keys {sorted(ref_cfg)} — supported "
+            "keys are the SparseRefinement constructor arguments"
+        )
     ref_kwargs.setdefault("stage_caps", (40960, 32768, 24576, 16384))
     ref_kwargs.setdefault("max_voxels", 40960)
     refinement = SparseRefinement(dtype=dtype, **ref_kwargs)
@@ -76,6 +81,7 @@ def build_model_from_cfg(cfg):
         ("process_res", int), ("num_points", int), ("bq_anchor_points", int),
         ("bq_sample_num", int), ("gt_num_points", int),
         ("max_depth", float), ("bq_max_radius", float),
+        ("voxel_pre_reduce", float), ("pre_reduce_cap", int),
         ("ref_view_strategy", str),
         ("use_ray_pose", bool), ("freeze_da3", bool),
     ):
@@ -83,6 +89,16 @@ def build_model_from_cfg(cfg):
             bk_kwargs[key] = cast(rb[key])
     if "filter_range" in rb:
         bk_kwargs["filter_range"] = tuple(rb["filter_range"])
+    unknown_rb = set(rb) - set(bk_kwargs) - {
+        "type", "pretrained", "cache_dir", "refinement", "filter_range",
+        "process_res", "num_points", "bq_anchor_points", "bq_sample_num",
+        "gt_num_points", "max_depth", "bq_max_radius", "ref_view_strategy",
+        "use_ray_pose", "freeze_da3", "voxel_pre_reduce", "pre_reduce_cap",
+    }
+    if unknown_rb:
+        raise ValueError(
+            f"unknown reconstruction_backbone config keys {sorted(unknown_rb)}"
+        )
     backbone = ReconstructionBackbone(da3=da3, refinement=refinement, **bk_kwargs)
 
     head = None
@@ -166,8 +182,11 @@ def data_iterator(dataset, num_points_gt: int, img_hw, n_cams: int, epochs: int,
         sample = dict(img=img, cam2lidar_rts=c2l, gt_points=gt)
         if max_objs > 0:  # detection-head training: padded GT boxes
             ann = dataset.get_ann_info(i)
-            boxes = np.asarray(ann["gt_bboxes_3d"], np.float32).reshape(-1, 9) \
-                if len(ann["gt_bboxes_3d"]) else np.zeros((0, 9), np.float32)
+            boxes = np.asarray(ann["gt_bboxes_3d"], np.float32)
+            boxes = boxes.reshape(len(boxes), -1) if len(boxes) \
+                else np.zeros((0, 9), np.float32)
+            if boxes.shape[1] < 9:  # with_velocity=False: pad vx,vy = 0
+                boxes = np.pad(boxes, ((0, 0), (0, 9 - boxes.shape[1])))
             labels = np.asarray(ann["gt_labels_3d"], np.int64).reshape(-1)
             keep = labels >= 0
             boxes, labels = boxes[keep][:max_objs], labels[keep][:max_objs]
@@ -219,6 +238,7 @@ def main(argv=None):
         ann_file=inner["ann_file"], data_root=inner.get("data_root", ""),
         classes=inner.get("classes"),
         load_interval=inner.get("load_interval", 1),
+        with_velocity=bool(inner.get("with_velocity", True)),
     )
     total_epochs = int(cfg.get("total_epochs", 8))
     mesh = make_mesh()
@@ -257,6 +277,37 @@ def main(argv=None):
         state = load_checkpoint(args.resume_from, target=jax.device_get(state))
     elif latest_checkpoint(work_dir):
         state = load_checkpoint(latest_checkpoint(work_dir), target=jax.device_get(state))
+    else:
+        # pretrained DA3 weights from the checkpoint cache (reference:
+        # api.py:76-90 PyTorchModelHubMixin download into ckpts/); missing
+        # checkpoint -> random init with a warning, matching from_pretrained
+        rb_cfg = cfg["model"]["reconstruction_backbone"]
+        cache_dir = rb_cfg.get("cache_dir")
+        if cache_dir:
+            from recondet3d.api.depth_anything3 import DepthAnything3
+            from recondet3d.api.weights import convert_torch_state_dict, load_safetensors
+
+            name = rb_cfg.get("pretrained", "da3-large")
+            ckpt = DepthAnything3._find_checkpoint(name, cache_dir)
+            if ckpt is None and "/" in name:
+                ckpt = DepthAnything3._download_checkpoint(name, cache_dir)
+            if ckpt is not None:
+                sd = load_safetensors(ckpt)
+                da3_params = jax.device_get(state.params["reconstruction_backbone"]["da3"])
+                da3_params, unused, unfilled = convert_torch_state_dict(sd, da3_params)
+                if unfilled:
+                    print(f"WARNING: {len(unfilled)} DA3 params not in checkpoint")
+                new_params = dict(state.params)
+                new_rb = dict(new_params["reconstruction_backbone"])
+                new_rb["da3"] = da3_params
+                new_params["reconstruction_backbone"] = new_rb
+                state = state.replace(params=new_params)
+                print(f"loaded DA3 weights from {ckpt}")
+            else:
+                print(
+                    f"WARNING: no DA3 checkpoint for {name!r} in {cache_dir!r}; "
+                    "training with randomly initialized DA3"
+                )
 
     def log(step, m):
         print(f"step {step}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()), flush=True)

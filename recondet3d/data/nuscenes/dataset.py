@@ -148,10 +148,19 @@ class NuScenesDataset:
         results: list (len == len(self)) of dicts with 'boxes_3d' (N, 7/9),
         'scores_3d' (N,), 'labels_3d' (N,).
 
-        ``custom_eval_set`` (ctor arg; reference: nuscenes_dataset.py:
-        449-461 maps it to a devkit eval-set split) restricts scoring to
-        the sample tokens / scene names listed in
+        ``custom_eval_set`` (ctor arg) restricts scoring to the sample
+        tokens / scene names listed in
         ``{data_root}/splits/{custom_eval_set}.json``.
+
+        DIVERGENCE from the reference (nuscenes_dataset.py:449-461): there
+        ``custom_eval_set`` names a nuScenes *devkit* eval split
+        ('{name}_val'/'{name}_mini_val' registered with the devkit); this
+        rebuild is devkit-free, so the same key takes a JSON list of
+        sample tokens or scene names instead. A reference config passing a
+        devkit split name (e.g. the katech one) needs that split exported
+        to ``splits/{name}.json`` first — a missing file raises
+        FileNotFoundError with that path rather than silently scoring the
+        full set.
         """
         from recondet3d.train.eval.nuscenes_eval import DetectionBox, evaluate_nuscenes
 

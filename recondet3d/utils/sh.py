@@ -83,7 +83,12 @@ def _sample_dirs_and_pinv(degree: int):
     v = rng.normal(size=(n, 3))
     v /= np.linalg.norm(v, axis=-1, keepdims=True)
     pinvs = {}
-    basis = np.asarray(eval_sh_basis(jnp.asarray(v), degree))
+    # force concrete evaluation even when first called under a trace
+    # (jit init / eval_shape of the GS path)
+    import jax
+
+    with jax.ensure_compile_time_eval():
+        basis = np.asarray(eval_sh_basis(jnp.asarray(v), degree))
     for l in range(degree + 1):
         sl = slice(l * l, (l + 1) * (l + 1))
         Yl = basis[:, sl]  # (n, 2l+1)

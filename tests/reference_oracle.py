@@ -75,6 +75,40 @@ def _install_shims():
         omegaconf.OmegaConf = OmegaConf
         sys.modules["omegaconf"] = omegaconf
 
+    if "evo" not in sys.modules:
+        # pose_align.py imports evo.core.trajectory.PosePath3D for type
+        # annotations / trajectory containers; a stub suffices for model
+        # construction and forward passes that never align trajectories
+        evo = types.ModuleType("evo")
+        core = types.ModuleType("evo.core")
+        traj = types.ModuleType("evo.core.trajectory")
+
+        class PosePath3D:  # pragma: no cover - never exercised
+            def __init__(self, *a, **kw):
+                raise RuntimeError("evo stub: trajectory ops unavailable")
+
+        traj.PosePath3D = PosePath3D
+        core.trajectory = traj
+        evo.core = core
+        sys.modules["evo"] = evo
+        sys.modules["evo.core"] = core
+        sys.modules["evo.core.trajectory"] = traj
+
+    if "e3nn" not in sys.modules:
+        # sh_helpers.py imports e3nn.o3 lazily for SH rotation; stub raises
+        # if actually called (layout tests never rotate harmonics)
+        e3nn = types.ModuleType("e3nn")
+        o3 = types.ModuleType("e3nn.o3")
+
+        def _unavailable(*a, **kw):  # pragma: no cover
+            raise RuntimeError("e3nn stub: SH rotation unavailable")
+
+        o3.matrix_to_angles = _unavailable
+        o3.wigner_D = _unavailable
+        e3nn.o3 = o3
+        sys.modules["e3nn"] = e3nn
+        sys.modules["e3nn.o3"] = o3
+
 
 def import_reference_da3():
     """Returns the reference depth_anything_3 package (or None if broken)."""

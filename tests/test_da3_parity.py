@@ -233,3 +233,132 @@ def test_from_pretrained_safetensors_file(net_pair, tmp_path):
         np.asarray(out_direct["depth"], np.float32),
         rtol=1e-4, atol=1e-5,
     )
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _cpu_linspace():
+    """vit_giant2 construction calls .item() on a torch.linspace (drop-path
+    decay rule, vision_transformer.py:175) which meta tensors reject; pin
+    that one op to CPU while building layout-only models on the meta
+    device."""
+    orig = torch.linspace
+    torch.linspace = lambda *a, **kw: orig(*a, **{**kw, "device": "cpu"})
+    try:
+        yield
+    finally:
+        torch.linspace = orig
+
+
+def test_giant_nested_checkpoint_layout_coverage():
+    """Layout-exact coverage of the real DA3NESTED-GIANT-LARGE checkpoint:
+    the reference torch model at FULL vitg scale (built on the meta device
+    — shapes only, no init cost) must convert with zero unused and zero
+    unfilled keys. Covers the production-only layouts toy-scale tests
+    miss: vitg swiglufused FFN (w12/w3), 40-block depth, DualDPT aux
+    pyramid at dim_in=3072, GSDPT, and the nested da3./da3_metric.
+    prefixes (reference: configs/da3-giant.yaml,
+    configs/da3nested-giant-large.yaml, model/da3.py:308-334)."""
+    from depth_anything_3.model.cam_dec import CameraDec as TorchCamDec
+    from depth_anything_3.model.cam_enc import CameraEnc as TorchCamEnc
+    from depth_anything_3.model.da3 import DepthAnything3Net as TorchNet
+    from depth_anything_3.model.dinov2.dinov2 import DinoV2 as TorchDinoV2
+    from depth_anything_3.model.dpt import DPT as TorchDPT
+    from depth_anything_3.model.dualdpt import DualDPT as TorchDualDPT
+    from depth_anything_3.model.gs_adapter import GaussianAdapter as TorchGSAdapter
+    from depth_anything_3.model.gsdpt import GSDPT as TorchGSDPT
+
+    with torch.device("meta"), _cpu_linspace():
+        anyview = TorchNet(
+            net=TorchDinoV2(name="vitg", out_layers=[19, 27, 33, 39],
+                            alt_start=13, qknorm_start=13, rope_start=13,
+                            cat_token=True),
+            head=TorchDualDPT(dim_in=3072, output_dim=2, features=256,
+                              out_channels=[256, 512, 1024, 1024]),
+            cam_enc=TorchCamEnc(dim_out=1536),
+            cam_dec=TorchCamDec(dim_in=3072),
+            gs_head=TorchGSDPT(dim_in=3072, output_dim=38, features=256,
+                               out_channels=[256, 512, 1024, 1024]),
+            gs_adapter=TorchGSAdapter(
+                sh_degree=2, pred_color=False, pred_offset_depth=True,
+                pred_offset_xy=True, gaussian_scale_min=1e-5,
+                gaussian_scale_max=30.0,
+            ),
+        )
+        metric = TorchNet(
+            net=TorchDinoV2(name="vitl", out_layers=[4, 11, 17, 23],
+                            alt_start=-1, qknorm_start=-1, rope_start=-1,
+                            cat_token=False),
+            head=TorchDPT(dim_in=1024, output_dim=1, features=256,
+                          out_channels=[256, 512, 1024, 1024]),
+        )
+        nested = torch.nn.Module()
+        nested.da3 = anyview
+        nested.da3_metric = metric
+    sd = {k: np.zeros(tuple(v.shape), np.float32)
+          for k, v in nested.state_dict().items()}
+
+    from recondet3d.models.da3 import build_da3
+
+    jnet = build_da3("da3nested-giant-large", dtype=jnp.float32,
+                     attn_impl="xla", with_gs=True)
+    x0 = jnp.zeros((1, 2, 28, 28, 3))
+    ext0 = jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4))
+    ixt0 = jnp.broadcast_to(jnp.eye(3), (1, 2, 3, 3))
+    params = jax.eval_shape(
+        lambda: jnet.init(jax.random.PRNGKey(0), x0, ext0, ixt0, infer_gs=True)
+    )
+    _, unused, unfilled = convert_torch_state_dict(sd, params)
+    # DualDPT aux-pyramid levels 0-2 are dead at inference and deliberately
+    # not materialized in the flax tree (same convention as net_pair)
+    live_unused = [
+        k for k in unused
+        if not any(f"_aux.{lvl}." in k for lvl in (0, 1, 2))
+    ]
+    assert not live_unused, f"unused torch keys ({len(live_unused)}): {live_unused[:20]}"
+    assert not unfilled, f"unfilled flax paths ({len(unfilled)}): {unfilled[:20]}"
+
+
+def test_giant_single_checkpoint_layout_coverage():
+    """Same full-scale layout check for the standalone DA3-GIANT layout
+    (bare prefixes, no nested wrapper)."""
+    from depth_anything_3.model.cam_dec import CameraDec as TorchCamDec
+    from depth_anything_3.model.cam_enc import CameraEnc as TorchCamEnc
+    from depth_anything_3.model.da3 import DepthAnything3Net as TorchNet
+    from depth_anything_3.model.dinov2.dinov2 import DinoV2 as TorchDinoV2
+    from depth_anything_3.model.dualdpt import DualDPT as TorchDualDPT
+
+    with torch.device("meta"), _cpu_linspace():
+        tnet = TorchNet(
+            net=TorchDinoV2(name="vitg", out_layers=[19, 27, 33, 39],
+                            alt_start=13, qknorm_start=13, rope_start=13,
+                            cat_token=True),
+            head=TorchDualDPT(dim_in=3072, output_dim=2, features=256,
+                              out_channels=[256, 512, 1024, 1024]),
+            cam_enc=TorchCamEnc(dim_out=1536),
+            cam_dec=TorchCamDec(dim_in=3072),
+        )
+    sd = {k: np.zeros(tuple(v.shape), np.float32)
+          for k, v in tnet.state_dict().items()}
+
+    from recondet3d.models.da3 import build_da3
+
+    jnet = build_da3("da3-giant", dtype=jnp.float32, attn_impl="xla",
+                     with_gs=False)
+    x0 = jnp.zeros((1, 2, 28, 28, 3))
+    ext0 = jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4))
+    ixt0 = jnp.broadcast_to(jnp.eye(3), (1, 2, 3, 3))
+    params = jax.eval_shape(
+        lambda: jnet.init(jax.random.PRNGKey(0), x0, ext0, ixt0)
+    )
+    _, unused, unfilled = convert_torch_state_dict(sd, params)
+    # DualDPT aux-pyramid levels 0-2 are dead at inference and deliberately
+    # not materialized in the flax tree (same convention as net_pair)
+    live_unused = [
+        k for k in unused
+        if not any(f"_aux.{lvl}." in k for lvl in (0, 1, 2))
+    ]
+    assert not live_unused, f"unused torch keys ({len(live_unused)}): {live_unused[:20]}"
+    assert not unfilled, f"unfilled flax paths ({len(unfilled)}): {unfilled[:20]}"
