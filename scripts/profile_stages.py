@@ -67,6 +67,7 @@ def main():
         ball_query_downsample,
         filter_point_by_range,
         fps_downsample,
+        voxel_pre_reduce,
     )
     from recondet3d.utils.geometry import depth_to_points_cam
 
@@ -100,10 +101,18 @@ def main():
         P = pts.shape[1] * pts.shape[2] * pts.shape[3]
         pts = pts.reshape(B, P, 3)
         msk = valid.reshape(B, P)
+        if bk.voxel_pre_reduce > 0.0:
+            return voxel_pre_reduce(
+                pts[0], msk[0],
+                voxel_size=bk.voxel_pre_reduce,
+                point_cloud_range=tuple(bk.filter_range),
+                max_out=min(bk.pre_reduce_cap, P),
+            )
         return filter_point_by_range(pts[0], msk[0], tuple(bk.filter_range))
 
     f_unproj = jax.jit(f_unproj)
-    p0, m0 = timeit("unproject+rangefilter", f_unproj, da3_out, c2l_j, iters=iters)
+    stage3 = "unproject+prereduce" if bk.voxel_pre_reduce > 0 else "unproject+rangefilter"
+    p0, m0 = timeit(stage3, f_unproj, da3_out, c2l_j, iters=iters)
 
     # stage 4: ball query
     f_bq = jax.jit(

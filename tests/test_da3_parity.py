@@ -362,3 +362,99 @@ def test_giant_single_checkpoint_layout_coverage():
     ]
     assert not live_unused, f"unused torch keys ({len(live_unused)}): {live_unused[:20]}"
     assert not unfilled, f"unfilled flax paths ({len(unfilled)}): {unfilled[:20]}"
+
+
+@pytest.fixture(scope="module")
+def large_pair():
+    """Full da3-large pair at REAL wiring (reference: configs/da3-large.yaml):
+    vitl 24 blocks, out_layers [11,15,19,23], alt/qknorm/rope from 8,
+    cat_token, DualDPT at dim_in=2048, CameraDec at 2048. Random weights
+    converted through the production seam."""
+    from depth_anything_3.model.cam_dec import CameraDec as TorchCamDec
+    from depth_anything_3.model.cam_enc import CameraEnc as TorchCamEnc
+    from depth_anything_3.model.da3 import DepthAnything3Net as TorchNet
+    from depth_anything_3.model.dinov2.dinov2 import DinoV2
+    from depth_anything_3.model.dualdpt import DualDPT as TorchDualDPT
+
+    torch.manual_seed(3)
+    tnet = TorchNet(
+        net=DinoV2(name="vitl", out_layers=[11, 15, 19, 23], alt_start=8,
+                   qknorm_start=8, rope_start=8, cat_token=True),
+        head=TorchDualDPT(dim_in=2048, output_dim=2, features=256,
+                          out_channels=[256, 512, 1024, 1024]),
+        cam_enc=TorchCamEnc(dim_out=1024),
+        cam_dec=TorchCamDec(dim_in=2048),
+    ).eval()
+    jnet = build_da3("da3-large", dtype=jnp.float32, attn_impl="xla")
+    x0 = jnp.zeros((1, 2, 28, 28, 3))
+    # init with extrinsics so the cam_enc conditioning + ray/aux pyramid
+    # materialize (same convention as net_pair)
+    ext0 = jnp.broadcast_to(jnp.eye(4)[None, None], (1, 2, 4, 4))
+    ixt0 = jnp.broadcast_to(jnp.eye(3)[None, None] * 20.0, (1, 2, 3, 3))
+    params = jnet.init(jax.random.PRNGKey(0), x0, ext0, ixt0)
+    params, unused, unfilled = convert_torch_state_dict(_state_dict(tnet), params)
+    assert not unfilled, f"unfilled: {unfilled[:10]}"
+    assert all("_aux.0." in k or "_aux.1." in k or "_aux.2." in k
+               for k in unused), unused[:10]
+    return tnet, jnet, params
+
+
+def test_da3_large_parity_production_res(large_pair):
+    """da3-large forward at production 504-side resolution (378x504 -> a
+    27x36 patch grid): pos-embed bicubic interpolation from the 37x37
+    base grid at real scale, all 24 vitl blocks with alt local/global +
+    QK-norm + RoPE at their real start index 8, DualDPT fusion at
+    dim_in=2048. Scale-sensitive wiring a toy-res test cannot catch
+    (reference: dinov2/vision_transformer.py:401-456)."""
+    tnet, jnet, params = large_pair
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 2, 3, 378, 504)).astype(np.float32)
+
+    with torch.no_grad():
+        tout = tnet(torch.from_numpy(x))
+    jout = jnet.apply(params, jnp.asarray(np.transpose(x, (0, 1, 3, 4, 2))))
+
+    np.testing.assert_allclose(
+        np.asarray(jout["depth"], np.float32),
+        tout["depth"].numpy().reshape(np.asarray(jout["depth"]).shape),
+        atol=5e-3, rtol=5e-3, err_msg="depth",
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["depth_conf"], np.float32),
+        tout["depth_conf"].numpy().reshape(np.asarray(jout["depth_conf"]).shape),
+        atol=5e-3, rtol=5e-3, err_msg="depth_conf",
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout["extrinsics"], np.float32),
+        tout["extrinsics"].numpy().reshape(np.asarray(jout["extrinsics"]).shape),
+        atol=5e-3, rtol=5e-3, err_msg="extrinsics",
+    )
+
+
+def test_vitg_block_swiglufused_parity():
+    """One transformer block at REAL vitg dims (1536, 24 heads, swiglufused
+    hidden 4096): the fused-SwiGLU FFN numerics and the w12/w3 weight
+    layout (reference: dinov2/layers/swiglu_ffn.py:44, block.py:26)."""
+    from depth_anything_3.model.dinov2.layers import SwiGLUFFNFused as TorchSwiGLU
+    from depth_anything_3.model.dinov2.layers.block import Block as TorchBlock
+
+    from recondet3d.models.da3.layers import Block as JBlock
+
+    torch.manual_seed(5)
+    tblk = TorchBlock(dim=1536, num_heads=24, mlp_ratio=4, qkv_bias=True,
+                      init_values=1.0, ffn_layer=TorchSwiGLU).eval()
+    jblk = JBlock(num_heads=24, mlp_ratio=4.0, qkv_bias=True,
+                  init_values=1.0, ffn_layer="swiglufused",
+                  dtype=jnp.float32, attn_impl="xla")
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(2, 128, 1536)).astype(np.float32)
+    params = jblk.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params, unused, unfilled = convert_torch_state_dict(_state_dict(tblk), params)
+    assert not unused and not unfilled, (unused[:5], unfilled[:5])
+
+    with torch.no_grad():
+        tout = tblk(torch.from_numpy(x))
+    jout = jblk.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(jout), tout.numpy(), atol=2e-4, rtol=2e-3,
+    )
