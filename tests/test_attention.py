@@ -61,3 +61,32 @@ def test_flash_grad_matches_xla():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+
+
+def test_flash_grad_kv_len_and_padding():
+    """Backward parity with masking AND non-block-multiple lengths: padded
+    rows/columns must contribute exactly zero gradient."""
+    n = 200  # pads to 256 inside the kernel
+    q = _rand((2, 2, n, 64), 12)
+    k = _rand((2, 2, n, 64), 13)
+    v = _rand((2, 2, n, 64), 14)
+    kv_len = jnp.array([150, 200], jnp.int32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, kv_len=kv_len, impl="pallas")
+        return jnp.sum(jnp.sin(out))
+
+    def loss_ref(q, k, v):
+        out = attention_xla(q, k, v, kv_len=kv_len)
+        return jnp.sum(jnp.sin(out))
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g1, g2, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5,
+            err_msg=f"d{name}",
+        )
+    # masked-out KV rows get exactly zero grad
+    dk, dv = np.asarray(g1[1]), np.asarray(g1[2])
+    assert np.all(dk[0, :, 150:] == 0) and np.all(dv[0, :, 150:] == 0)
