@@ -15,14 +15,16 @@ dependencies, same JSON contract:
   GET  /device-memory    (the reference's /gpu-memory)
   GET  /gallery/manifest
 
-Plus a browser app replacing the reference's gradio UI
-(reference: app/gradio_app.py — upload images, run, inspect outputs;
-gradio is absent from this image, so /app serves a dependency-free HTML
-page with multipart upload, task polling and output downloads):
+Plus the browser app replacing the reference's gradio UI (see
+recondet3d/serve/webapp.py for the page and feature map):
 
-  GET  /app              upload + results page
-  POST /upload           multipart images -> queued inference task
-  GET  /files/<task>/<f> download an export artifact
+  GET  /app                     the single-page app
+  POST /upload                  multipart images or video -> queued task
+  GET  /files/<task>/<f>        download an export artifact
+  GET  /scene/<task>/meta       scene summary + camera frusta
+  GET  /scene/<task>/points.bin filtered [x y z r g b] float32 stream
+  GET  /scene/<task>/depth/<i>.png | image/<i>.jpg | measure?view&u&v
+  POST /scene/<task>/gs_video   render 3DGS novel-view video
 """
 
 from __future__ import annotations
@@ -127,6 +129,12 @@ class ModelManager:
             use_ray_pose=bool(payload.get("use_ray_pose", False)),
             ref_view_strategy=payload.get("ref_view_strategy", "saddle_balanced"),
         )
+        # persist the scene arrays for the web app's viewer/measure/3DGS
+        # endpoints (reference keeps workspaces per reconstruction,
+        # app/gradio_app.py:40-156)
+        from recondet3d.serve.scene_store import save_scene
+
+        save_scene(export_dir, pred)
         return dict(
             export_dir=export_dir,
             depth_shape=list(pred.depth.shape),
@@ -212,9 +220,24 @@ def create_server(manager: ModelManager, host: str = "127.0.0.1", port: int = 80
             elif self.path == "/gallery/manifest":
                 self._json(manager.gallery_manifest())
             elif self.path == "/app":
-                body = _app_html().encode()
+                from recondet3d.serve.webapp import app_html
+
+                body = app_html().encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/scene/"):
+                from recondet3d.serve.webapp import handle_scene_get
+
+                try:
+                    body, ctype, code = handle_scene_get(manager, self.path)
+                except Exception as e:  # noqa: BLE001
+                    body = json.dumps({"error": str(e)}).encode()
+                    ctype, code = "application/json", 500
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -256,17 +279,47 @@ def create_server(manager: ModelManager, host: str = "127.0.0.1", port: int = 80
                 )
                 os.makedirs(updir, exist_ok=True)
                 paths = []
-                for name, data in files:
+                for field, name, data in files:
                     safe = os.path.basename(name) or f"img{len(paths)}.png"
                     p = os.path.join(updir, safe)
                     with open(p, "wb") as f:
                         f.write(data)
-                    paths.append(p)
+                    if field == "video":
+                        # server-side frame extraction (reference:
+                        # app/modules/file_handlers.py video inputs)
+                        interval = float(fields.get("s_time_interval", 1.0))
+                        paths.extend(_extract_video_frames(p, updir, interval))
+                    else:
+                        paths.append(p)
+                if not paths:
+                    return self._json({"error": "no frames extracted"}, 400)
                 task_id = manager.submit(dict(
                     images=paths,
                     export_format=fields.get("export_format", "depth_vis"),
+                    infer_gs=fields.get("infer_gs", "0") == "1",
+                    ref_view_strategy=fields.get(
+                        "ref_view_strategy", "saddle_balanced"),
                 ))
                 self._json({"task_id": task_id, "status": "queued"})
+            elif self.path.startswith("/scene/"):
+                from recondet3d.serve.webapp import handle_scene_post
+
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    return self._json({"error": "bad json"}, 400)
+                try:
+                    body, ctype, code = handle_scene_post(
+                        manager, self.path, payload)
+                except Exception as e:  # noqa: BLE001
+                    body = json.dumps({"error": str(e)}).encode()
+                    ctype, code = "application/json", 500
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/inference":
                 length = int(self.headers.get("Content-Length", 0))
                 try:
@@ -312,7 +365,7 @@ GET /tasks &middot; GET /device-memory &middot; GET /gallery/manifest</p>
 
 def _parse_multipart(body: bytes, content_type: str):
     """Minimal multipart/form-data parser (stdlib-only; the cgi module is
-    deprecated). Returns ([(filename, bytes)], {field: value})."""
+    deprecated). Returns ([(field, filename, bytes)], {field: value})."""
     import re
 
     m = re.search(r'boundary="?([^";]+)"?', content_type)
@@ -331,66 +384,36 @@ def _parse_multipart(body: bytes, content_type: str):
         name_m = re.search(r'name="([^"]*)"', head_s)
         file_m = re.search(r'filename="([^"]*)"', head_s)
         if file_m and file_m.group(1):
-            files.append((file_m.group(1), data))
+            files.append((name_m.group(1) if name_m else "",
+                          file_m.group(1), data))
         elif name_m:
             fields[name_m.group(1)] = data.decode(errors="replace").strip()
     return files, fields
 
 
-def _app_html() -> str:
-    """Upload/run/inspect page (the reference gradio app's role,
-    reference: app/gradio_app.py:1-724 — served dependency-free)."""
-    return """<!doctype html><html><head><title>recondet3d</title>
-<style>body{font-family:sans-serif;max-width:780px;margin:2em auto}
-img{max-width:240px;margin:4px;border:1px solid #ccc}
-.task{border:1px solid #888;padding:10px;margin:10px 0;border-radius:6px}
-</style></head><body>
-<h2>recondet3d &mdash; multi-view 3D reconstruction</h2>
-<form id=f>
-<input type=file id=imgs multiple accept="image/*">
-<select id=fmt><option>depth_vis</option><option>glb</option>
-<option>mini_npz</option><option>gs_ply</option></select>
-<button type=submit>Run</button></form>
-<div id=tasks></div>
-<script>
-const tasks = {};
-document.getElementById('f').onsubmit = async (e) => {
-  e.preventDefault();
-  const fd = new FormData();
-  for (const f of document.getElementById('imgs').files) fd.append('images', f);
-  fd.append('export_format', document.getElementById('fmt').value);
-  const r = await fetch('/upload', {method: 'POST', body: fd});
-  const j = await r.json();
-  if (j.task_id) { tasks[j.task_id] = 'queued'; poll(j.task_id); }
-};
-async function poll(tid) {
-  const el = document.createElement('div');
-  el.className = 'task'; el.id = 't' + tid;
-  el.textContent = tid + ': queued';
-  document.getElementById('tasks').prepend(el);
-  while (true) {
-    const j = await (await fetch('/status/' + tid)).json();
-    el.textContent = tid + ': ' + j.status;
-    if (j.status === 'done') { render(tid, el); break; }
-    if (j.status === 'failed') { el.textContent += ' — ' + j.error; break; }
-    await new Promise(r => setTimeout(r, 1500));
-  }
-}
-async function render(tid, el) {
-  const man = await (await fetch('/gallery/manifest')).json();
-  const entry = man.find(m => m.task_id === tid);
-  if (!entry) return;
-  for (const f of entry.files) {
-    const url = '/files/' + tid + '/' + f;
-    if (f.endsWith('.png') || f.endsWith('.jpg')) {
-      const img = document.createElement('img'); img.src = url; el.appendChild(img);
-    } else {
-      const a = document.createElement('a'); a.href = url; a.textContent = ' ' + f;
-      a.download = f; el.appendChild(a);
-    }
-  }
-}
-</script></body></html>"""
+def _extract_video_frames(video_path: str, out_dir: str, interval_s: float,
+                          max_frames: int = 32) -> list:
+    """Sample frames from an uploaded video every ``interval_s`` seconds
+    (reference: app/modules/file_handlers.py + services/input_handlers.py
+    video handling)."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    step = max(1, round(fps * max(interval_s, 1e-3)))
+    paths = []
+    idx = 0
+    while len(paths) < max_frames:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if idx % step == 0:
+            p = os.path.join(out_dir, f"frame_{len(paths):04d}.jpg")
+            cv2.imwrite(p, frame)
+            paths.append(p)
+        idx += 1
+    cap.release()
+    return paths
 
 
 def start_server(model_name: str, cache_dir: str = "ckpts", host: str = "127.0.0.1",

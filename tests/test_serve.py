@@ -5,6 +5,7 @@ import json
 import os
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -83,3 +84,100 @@ def test_inference_task_roundtrip(server, tmp_path):
 def _get_post(req):
     with urllib.request.urlopen(req, timeout=30) as r:
         return json.loads(r.read())
+
+
+def _multipart(files, fields):
+    """files: [(field, name, bytes)]"""
+    b = b"----recondet3dboundary"
+    out = []
+    for field, name, data in files:
+        out += [b"--" + b, f'Content-Disposition: form-data; name="{field}"; '
+                f'filename="{name}"'.encode(), b"", data]
+    for k, v in fields.items():
+        out += [b"--" + b, f'Content-Disposition: form-data; name="{k}"'.encode(),
+                b"", str(v).encode()]
+    out += [b"--" + b + b"--", b""]
+    return b"\r\n".join(out), f"multipart/form-data; boundary={b.decode()}"
+
+
+def _wait_done(url, tid, timeout=300):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        status = _get(f"{url}/status/{tid}")
+        if status["status"] in ("done", "failed"):
+            return status
+        time.sleep(1)
+    return status
+
+
+def test_webapp_scene_endpoints(server):
+    """Upload via the web app's multipart path, then drive every scene
+    endpoint the SPA uses (viewer points, depth/image, measure, meta)."""
+    url, _, workdir = server
+    import cv2
+
+    rng = np.random.default_rng(1)
+    files = []
+    for i in range(2):
+        ok, buf = cv2.imencode(".png", rng.integers(0, 255, (90, 160, 3), np.uint8))
+        files.append(("images", f"img{i}.png", buf.tobytes()))
+    body, ctype = _multipart(files, dict(export_format="depth_vis",
+                                         ref_view_strategy="first"))
+    req = urllib.request.Request(url + "/upload", data=body,
+                                 headers={"Content-Type": ctype})
+    tid = _get_post(req)["task_id"]
+    status = _wait_done(url, tid)
+    assert status["status"] == "done", status.get("error")
+
+    meta = _get(f"{url}/scene/{tid}/meta")
+    assert meta["num_views"] == 2 and meta["height"] > 0
+    assert len(meta["frusta"]) == 2 and len(meta["frusta"][0]) == 8
+
+    with urllib.request.urlopen(
+            f"{url}/scene/{tid}/points.bin?max=5000&conf=30", timeout=30) as r:
+        pts = np.frombuffer(r.read(), "<f4").reshape(-1, 6)
+    assert 0 < len(pts) <= 5000
+    assert np.isfinite(pts).all()
+
+    for ep, magic in [(f"depth/0.png", b"\x89PNG"), (f"image/1.jpg", b"\xff\xd8")]:
+        with urllib.request.urlopen(f"{url}/scene/{tid}/{ep}", timeout=30) as r:
+            assert r.read(4)[:len(magic)] == magic, ep
+
+    m = _get(f"{url}/scene/{tid}/measure?view=0&u=0.5&v=0.5")
+    assert m["view"] == 0 and ("depth" in m)
+
+    with urllib.request.urlopen(url + "/app", timeout=10) as r:
+        html = r.read().decode()
+    assert "Point Cloud" in html and "webgl" in html and "measure" in html
+
+    # gs_video on a scene without gaussians must 400, not 500
+    req = urllib.request.Request(f"{url}/scene/{tid}/gs_video",
+                                 data=b"{}",
+                                 headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_webapp_video_upload(server, tmp_path):
+    """Video upload -> server-side frame extraction -> reconstruction."""
+    url, _, _ = server
+    import cv2
+
+    vp = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(vp, cv2.VideoWriter_fourcc(*"mp4v"), 10, (160, 90))
+    rng = np.random.default_rng(2)
+    for _ in range(25):
+        w.write(rng.integers(0, 255, (90, 160, 3), np.uint8))
+    w.release()
+    body, ctype = _multipart([("video", "clip.mp4", open(vp, "rb").read())],
+                             dict(s_time_interval=1.0, export_format="mini_npz"))
+    req = urllib.request.Request(url + "/upload", data=body,
+                                 headers={"Content-Type": ctype})
+    tid = _get_post(req)["task_id"]
+    status = _wait_done(url, tid)
+    assert status["status"] == "done", status.get("error")
+    # 25 frames at 10 fps sampled every 1 s -> 3 frames
+    assert status["result"]["num_views"] == 3
