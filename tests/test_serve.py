@@ -181,3 +181,55 @@ def test_webapp_video_upload(server, tmp_path):
     assert status["status"] == "done", status.get("error")
     # 25 frames at 10 fps sampled every 1 s -> 3 frames
     assert status["result"]["num_views"] == 3
+
+
+def test_gallery_server(tmp_path):
+    """Group/scene manifests + SPA + GLB fetch (reference: services/
+    gallery.py build_group_list/build_group_manifest + HTML_PAGE)."""
+    import threading
+
+    from recondet3d.data.export.glb import write_glb_pointcloud
+    from recondet3d.serve.gallery import create_gallery_server
+
+    root = tmp_path / "gal"
+    scene = root / "outdoor" / "scene_a"
+    scene.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    write_glb_pointcloud(str(scene / "scene.glb"),
+                         rng.normal(size=(100, 3)).astype(np.float32),
+                         colors=rng.random((100, 3)).astype(np.float32))
+    import cv2
+
+    cv2.imwrite(str(scene / "scene.jpg"),
+                rng.integers(0, 255, (40, 60, 3), np.uint8))
+    dv = scene / "depth_vis"
+    dv.mkdir()
+    cv2.imwrite(str(dv / "depth_0.png"),
+                rng.integers(0, 255, (40, 60, 3), np.uint8))
+
+    srv = create_gallery_server(str(root), "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}"
+    try:
+        groups = _get(url + "/manifest.json")["groups"]
+        assert [g["id"] for g in groups] == ["outdoor"]
+        man = _get(url + "/manifest/outdoor.json")
+        assert len(man["items"]) == 1
+        item = man["items"][0]
+        assert item["model"] == "/outdoor/scene_a/scene.glb"
+        assert item["thumbnail"] == "/outdoor/scene_a/scene.jpg"
+        assert item["depth_images"] == ["/outdoor/scene_a/depth_vis/depth_0.png"]
+        with urllib.request.urlopen(url + "/", timeout=10) as r:
+            html = r.read().decode()
+        assert "loadGLB" in html and "manifest.json" in html
+        with urllib.request.urlopen(url + item["model"], timeout=10) as r:
+            assert r.read(4) == b"glTF"
+        # directory listings disabled
+        try:
+            urllib.request.urlopen(url + "/outdoor/", timeout=10)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
