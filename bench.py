@@ -59,15 +59,44 @@ def build_pipeline(dtype):
     return ResDet3D(reconstruction_backbone=backbone)
 
 
+# nuScenes-like 6-camera rig yaws (FRONT, FRONT_LEFT, FRONT_RIGHT, BACK,
+# BACK_LEFT, BACK_RIGHT)
+_RIG_YAWS = np.deg2rad([0.0, 55.0, -55.0, 180.0, 110.0, -110.0])
+# camera optical frame (x right, y down, z forward) -> vehicle/lidar frame
+# (x forward, y left, z up), column form
+_R_CAM2VEH = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32)
+
+
 def make_inputs(rng):
-    img = rng.uniform(0, 255, (1, N_CAMS, IMG_H, IMG_W, 3)).astype(np.float32)
+    """Bench inputs: six real 900x1600 camera views (checked-in crops of the
+    reference's example photos, assets/bench_sample/) on a nuScenes-like
+    rig. Falls back to uniform noise if the assets are absent.
+    RECONDET3D_BENCH_NOISE=1 forces the old synthetic inputs."""
+    sample_dir = os.path.join(REPO, "assets", "bench_sample")
+    use_real = (
+        os.environ.get("RECONDET3D_BENCH_NOISE") != "1"
+        and all(os.path.exists(os.path.join(sample_dir, f"cam{i}.jpg"))
+                for i in range(N_CAMS))
+    )
+    if use_real:
+        import cv2
+
+        views = [
+            cv2.imread(os.path.join(sample_dir, f"cam{i}.jpg"))[..., ::-1]
+            for i in range(N_CAMS)
+        ]
+        img = np.stack(views)[None].astype(np.float32)
+    else:
+        img = rng.uniform(0, 255, (1, N_CAMS, IMG_H, IMG_W, 3)).astype(np.float32)
     c2l = np.tile(np.eye(4, dtype=np.float32), (1, N_CAMS, 1, 1))
     for i in range(N_CAMS):
-        th = 2 * np.pi * i / N_CAMS
-        c2l[0, i, :3, :3] = np.array(
-            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+        th = _RIG_YAWS[i] if use_real else 2 * np.pi * i / N_CAMS
+        Rz = np.array(
+            [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]],
+            np.float32,
         )
-        c2l[0, i, 3, :3] = [0.5 * np.cos(th), 0.5 * np.sin(th), 1.5]
+        c2l[0, i, :3, :3] = Rz @ _R_CAM2VEH if use_real else Rz
+        c2l[0, i, 3, :3] = [np.cos(th), np.sin(th), 1.5]
     return img, c2l
 
 
@@ -89,6 +118,24 @@ def measure(backend: str, iters: int) -> float:
     variables = jax.jit(lambda r: model.init(r, img_j, c2l_j))(jax.random.PRNGKey(0))
     jax.block_until_ready(variables)
     print(f"[bench] init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    ckpt = os.environ.get("RECONDET3D_BENCH_CKPT")
+    if ckpt:  # real DA3 safetensors -> real depth distribution
+        from recondet3d.api.weights import convert_torch_state_dict, load_safetensors
+
+        da3_params = jax.device_get(
+            variables["params"]["reconstruction_backbone"]["da3"]
+        )
+        da3_params, _, unfilled = convert_torch_state_dict(
+            load_safetensors(ckpt), da3_params
+        )
+        if unfilled:
+            print(f"[bench] WARNING: {len(unfilled)} params unfilled", file=sys.stderr)
+        variables = jax.tree_util.tree_map(lambda x: x, variables)  # unfreeze copy
+        p = dict(variables["params"]); rb = dict(p["reconstruction_backbone"])
+        rb["da3"] = da3_params; p["reconstruction_backbone"] = rb
+        variables = dict(variables, params=p)
+        print(f"[bench] loaded DA3 weights from {ckpt}", file=sys.stderr)
 
     # reduce outputs to scalars ON DEVICE: both heads still compute (no
     # DCE), but the host sync transfers 8 bytes instead of ~4.6MB — over a
