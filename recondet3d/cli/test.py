@@ -27,11 +27,16 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from recondet3d.cli.train import build_model_from_cfg, data_iterator
+    from recondet3d.cli.train import (
+        _setup_compile_cache,
+        build_model_from_cfg,
+        data_iterator,
+    )
     from recondet3d.core.config import load_py_config, parse_cli_overrides
     from recondet3d.data.nuscenes import NuScenesDataset
     from recondet3d.train import load_checkpoint
 
+    _setup_compile_cache()
     args = parse_args(argv)
     overrides = parse_cli_overrides(args.cfg_options)
     cfg = load_py_config(args.config, overrides)

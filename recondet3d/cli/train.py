@@ -29,6 +29,11 @@ def parse_args(argv=None):
     p.add_argument("--deterministic", action="store_true")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--autoscale-lr", action="store_true")
+    p.add_argument(
+        "--num-devices", type=int, default=None,
+        help="cap the data-parallel mesh to the first N devices (the "
+        "reference launchers' GPUS=N knob, tools/dist_train.sh)",
+    )
     p.add_argument("--cfg-options", nargs="*", default=[])
     return p.parse_args(argv)
 
@@ -209,6 +214,24 @@ def data_iterator(dataset, num_points_gt: int, img_hw, n_cams: int, epochs: int,
             bucket = []
 
 
+def _setup_compile_cache():
+    """Persistent XLA compile cache (RECONDET3D_CACHE_DIR overrides; the
+    reference relies on torch's implicit kernel caches for the same
+    effect). Saves minutes per invocation on repeat runs."""
+    import jax
+
+    cache = os.environ.get(
+        "RECONDET3D_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "recondet3d", "jax"),
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     import jax
 
@@ -220,6 +243,7 @@ def main(argv=None):
     from recondet3d.parallel import init_distributed
 
     init_distributed()  # no-op on single host
+    _setup_compile_cache()
 
     args = parse_args(argv)
     overrides = parse_cli_overrides(args.cfg_options)
@@ -241,7 +265,10 @@ def main(argv=None):
         with_velocity=bool(inner.get("with_velocity", True)),
     )
     total_epochs = int(cfg.get("total_epochs", 8))
-    mesh = make_mesh()
+    if args.num_devices:
+        mesh = make_mesh(devices=jax.devices()[: args.num_devices])
+    else:
+        mesh = make_mesh()
     bs = mesh.shape["data"]
     # one optimizer step consumes a GLOBAL batch of bs samples, so the
     # configured epochs correspond to len(dataset)*epochs/bs steps (and
@@ -268,9 +295,12 @@ def main(argv=None):
         int(model.pts_bbox_head.max_objs)
         if model.pts_bbox_head is not None else 0
     )
-    it = data_iterator(dataset, num_points_gt=40000, img_hw=(900, 1600),
-                       n_cams=6, epochs=epochs_needed, batch_size=bs,
-                       max_objs=max_objs)
+    it = data_iterator(
+        dataset,
+        num_points_gt=int(model.reconstruction_backbone.gt_num_points),
+        img_hw=(900, 1600), n_cams=6, epochs=epochs_needed, batch_size=bs,
+        max_objs=max_objs,
+    )
     first = next(it)
     state = trainer.init_state(jax.random.PRNGKey(args.seed), first)
     if args.resume_from:

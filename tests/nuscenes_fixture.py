@@ -13,7 +13,15 @@ def _quat_about_z(theta):
 
 
 def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
-                 n_cams: int = 2, seed: int = 0):
+                 n_cams: int = 2, seed: int = 0, structured: bool = False):
+    """Write a synthetic v1.0-mini tree.
+
+    ``structured=True`` swaps the uniform-noise geometry for a scene with
+    learnable structure (the VERDICT round-1 ask): GT boxes sit at fixed
+    lidar-frame positions inside ±8 m, and the lidar bins contain a ground
+    plane plus dense point clusters inside each box — so occupancy has a
+    real signal and a detection head can be trained to nonzero mAP on it.
+    """
     rng = np.random.default_rng(seed)
     version = "v1.0-mini"
     tdir = os.path.join(root, version)
@@ -82,7 +90,10 @@ def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
             tables["ego_pose"].append(dict(token=pose_tok, timestamp=ts,
                                            translation=ego_t, rotation=_quat_about_z(0.1 * sj)))
             lidar_file = f"samples/LIDAR_TOP/{tok}.pcd.bin"
-            pts = rng.uniform(-30, 30, (256, 5)).astype(np.float32)
+            if structured:
+                pts = _structured_lidar(rng, sj)
+            else:
+                pts = rng.uniform(-30, 30, (256, 5)).astype(np.float32)
             pts.tofile(os.path.join(root, lidar_file))
             sd_tok = f"sd-{tok}-lidar"
             tables["sample_data"].append(dict(
@@ -120,12 +131,28 @@ def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
                         nbr_annotations=samples_per_scene,
                         first_annotation_token="", last_annotation_token="",
                     ))
+                if structured:
+                    # fixed LIDAR-frame pose (see STRUCTURED_BOXES): global
+                    # pose = ego2global o lidar2ego of that fixed pose, so
+                    # the converter's global->lidar chain recovers it
+                    # exactly for every sample — memorizable by a head.
+                    cx, cy, cz, yaw, _ = STRUCTURED_BOXES[ai]
+                    ego_off = np.array([cx + 0.9, cy, cz + 1.8])
+                    th = 0.1 * sj
+                    R = np.array([[np.cos(th), -np.sin(th), 0],
+                                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+                    trans = (np.asarray(ego_t) + R @ ego_off).tolist()
+                    rot = _quat_about_z(yaw + th)
+                    npts = 100
+                else:
+                    trans = [ego_t[0] + 10 + ai * 5, ego_t[1] + 2, 1.0]
+                    rot = _quat_about_z(0.3 * ai)
+                    npts = 10
                 tables["sample_annotation"].append(dict(
                     token=ann_tok, sample_token=tok, instance_token=inst_tok,
                     attribute_tokens=[], visibility_token="1",
-                    translation=[ego_t[0] + 10 + ai * 5, ego_t[1] + 2, 1.0],
-                    size=size, rotation=_quat_about_z(0.3 * ai),
-                    num_lidar_pts=10, num_radar_pts=0,
+                    translation=trans, size=size, rotation=rot,
+                    num_lidar_pts=npts, num_radar_pts=0,
                     prev="", next="",
                 ))
                 sample["anns"].append(ann_tok)
@@ -141,6 +168,33 @@ def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
         with open(os.path.join(tdir, f"{name}.json"), "w") as f:
             json.dump(rows, f)
     return root
+
+
+# lidar-frame (cx, cy, cz, yaw, size[w,l,h]) of the two structured GT
+# objects; constant across samples (lidar rig is fixed relative to ego)
+STRUCTURED_BOXES = [
+    (3.1, 1.5, -1.3, 0.0, (2.0, 4.5, 1.6)),    # vehicle.car
+    (5.6, 1.5, -1.3, 0.3, (0.6, 0.6, 1.8)),    # human.pedestrian.adult
+]
+
+
+def _structured_lidar(rng, sj, n_total: int = 2048):
+    """Lidar-frame points: ground plane at z=-1.8 + dense clusters inside
+    each STRUCTURED_BOXES box (+ per-sample jitter via rng)."""
+    parts = []
+    n_box = 150
+    for cx, cy, cz, yaw, (w, l, h) in STRUCTURED_BOXES:
+        local = rng.uniform(-0.5, 0.5, (n_box, 3)) * np.array([l, w, h])
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        parts.append(local @ R.T + np.array([cx, cy, cz]))
+    n_ground = n_total - sum(len(p) for p in parts)
+    gx = rng.uniform(-8, 8, (n_ground, 2))
+    gz = -1.8 + rng.normal(0, 0.02, (n_ground, 1))
+    parts.append(np.concatenate([gx, gz], axis=1))
+    xyz = np.concatenate(parts).astype(np.float32)
+    extra = np.zeros((len(xyz), 2), np.float32)  # intensity, ring
+    return np.concatenate([xyz, extra], axis=1)
 
 
 def _write_jpeg(path, rgb):
