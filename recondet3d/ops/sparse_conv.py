@@ -264,25 +264,114 @@ def _conv_core_bwd(flip_bwd, res, g):
 _conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
 
 
+def _pair_gemm(features, half_map, weight):
+    """Exact subm conv from a HALF gather + mirror scatter-add.
+
+    The subm neighbor relation is symmetric (nbr[n,k]=m iff nbr[m,K-1-k]=n),
+    so the conv needs only the negative-half taps + center gathered
+    ((K+1)/2 rows per voxel instead of K); each pair's mirror contribution
+    F[n] @ W[K-1-k] -> out[m] is delivered by a scatter-add of GEMM
+    outputs. NOTE: measured SLOWER than the full gather at production
+    shapes (scripts/bench_subm_conv.py; see subm_conv_apply docstring) —
+    kept as a tested alternative for active sets with poor gather
+    locality, where halving the gathered rows could win.
+
+    half_map = nbr_map[:, : K//2 + 1] (negative half + center column)."""
+    N, Cin = features.shape
+    Hc = half_map.shape[1]  # (K+1)//2: negative half + center
+    H = Hc - 1
+    K = weight.shape[0]
+    Cout = weight.shape[-1]
+    w = weight.astype(features.dtype)
+    padded = jnp.concatenate([features, jnp.zeros((1, Cin), features.dtype)])
+    gath = padded[half_map]  # (N, Hc, Cin)
+    out = jax.lax.dot_general(
+        gath.reshape(N, Hc * Cin), w[:Hc].reshape(Hc * Cin, Cout),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    # mirror half: pair (n, k<H) with m = half_map[n,k] contributes
+    # F[n] @ W[K-1-k] to out[m]; all H GEMMs in one dot, one scatter-add.
+    w_rev = jnp.flip(w[Hc:], 0)  # w_rev[k] = W[K-1-k] for k in 0..H-1
+    t = jax.lax.dot_general(
+        features, w_rev.transpose(1, 0, 2).reshape(Cin, H * Cout),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(N, H, Cout)
+    rows = half_map[:, :H]  # missing pairs (== N) land in the dead row
+    mirror = jnp.zeros((N + 1, Cout), out.dtype).at[rows.reshape(-1)].add(
+        t.reshape(N * H, Cout), mode="drop"
+    )
+    return (out + mirror[:N]).astype(features.dtype)
+
+
+@jax.custom_vjp
+def _pair_conv_core(features, half_map, weight):
+    return _pair_gemm(features, half_map, weight)
+
+
+def _pair_conv_core_fwd(features, half_map, weight):
+    return _pair_gemm(features, half_map, weight), (features, half_map, weight)
+
+
+def _pair_conv_core_bwd(res, g):
+    features, half_map, weight = res
+    N, Cin = features.shape
+    Hc = half_map.shape[1]
+    H = Hc - 1
+    K = weight.shape[0]
+    # dF = conv(g) with the flipped-transposed kernel (the subm conv's
+    # adjoint is the same conv with W'[k] = W[K-1-k]^T) — pair form again
+    wb = jnp.flip(weight, 0).transpose(0, 2, 1)  # (K, Cout, Cin)
+    df = _pair_gemm(g.astype(features.dtype), half_map, wb)
+    # dW from the two half-gathers (each reused between df and dw):
+    #   k <= H:  dw[k]     = sum_n F[half[n,k]] (x) g[n]
+    #   k  > H:  dw[K-1-k'] = sum_n F[n] (x) g[half[n,k']]   (symmetry)
+    padded_f = jnp.concatenate([features, jnp.zeros((1, Cin), features.dtype)])
+    gath_f = padded_f[half_map].astype(jnp.float32)  # (N, Hc, Cin)
+    gp = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
+    gath_g = gp[half_map[:, :H]].astype(jnp.float32)  # (N, H, Cout)
+    g32 = g.astype(jnp.float32)
+    dw_neg = jnp.einsum("nhc,nd->hcd", gath_f, g32)  # taps 0..H
+    dw_pos = jnp.einsum("nc,nhd->hcd", features.astype(jnp.float32), gath_g)
+    dw = jnp.concatenate([dw_neg, jnp.flip(dw_pos, 0)]).astype(weight.dtype)
+    zmap = np.zeros(half_map.shape, jax.dtypes.float0)
+    return df, zmap, dw
+
+
+_pair_conv_core.defvjp(_pair_conv_core_fwd, _pair_conv_core_bwd)
+
+
 def subm_conv_apply(
     features: jnp.ndarray,
     nbr_map: jnp.ndarray,
     weight: jnp.ndarray,
     bias: jnp.ndarray | None = None,
+    *,
+    form: str = "full",
 ) -> jnp.ndarray:
-    """Apply a (K, Cin, Cout) kernel in gather form.
+    """Apply a (K, Cin, Cout) kernel on a symmetric subm neighbor map.
 
     features (N, Cin); nbr_map (N, K) with entries == N marking missing.
-    out[n] = sum_k features[nbr(n, k)] @ W[k] — one (N, K) row gather +
-    one (N, K*Cin) x (K*Cin, Cout) MXU GEMM. Measured on v5e at
-    N=41k/K=27/C=16: gather 33ms vs scatter-add 46ms (the subm map is its
-    own inverse, so both forms compute the same conv). The backward also
-    runs in gather form via the map's mirror symmetry (see _conv_core)."""
+    out[n] = sum_k features[nbr(n, k)] @ W[k].
+
+    ``form="full"`` (default) is one (N, K) row gather + one
+    (N, K*Cin) x (K*Cin, Cout) MXU GEMM. ``form="pair"`` gathers only the
+    negative half + center and mirrors pair contributions with a
+    scatter-add (see _pair_gemm); exact and tested, but measured SLOWER at
+    production shapes — v5e, 32k active voxels from the reference point
+    distribution (scripts/bench_subm_conv.py): full 3.3 ms vs pair
+    10.4 ms at C16 bf16 (similar at f32 and C64). The production active
+    set comes out of voxelize sorted by voxel id, so the 27-tap gather has
+    near-sequential locality, while the pair form's (13*N)-row scatter-add
+    serializes on conflicts. Both run gather-form backwards via the map's
+    mirror symmetry."""
     N = features.shape[0]
     M, K = nbr_map.shape
     if M != N:
         raise ValueError("subm conv requires square maps")
-    out = _conv_core(features, nbr_map, nbr_map, weight, True)
+    if form == "pair":
+        out = _pair_conv_core(features, nbr_map[:, : K // 2 + 1], weight)
+    else:
+        out = _conv_core(features, nbr_map, nbr_map, weight, True)
     if bias is not None:
         out = out + bias.astype(features.dtype)
     return out

@@ -215,3 +215,43 @@ def test_custom_vjp_matches_autodiff():
     gr = jax.grad(loss_down_ref, argnums=(0, 1))(feats, w2)
     np.testing.assert_allclose(gc[0], gr[0], atol=1e-4)
     np.testing.assert_allclose(gc[1], gr[1], atol=1e-4)
+
+
+def test_pair_form_equals_full_form():
+    """The half-gather + mirror-scatter formulation is the SAME conv as the
+    full 27-gather (exactness of the symmetry argument), forward and grad."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    grid = (6, 16, 16)
+    cap = 384
+    zyx = np.unique(
+        np.stack([rng.integers(0, g, 300) for g in grid], 1), axis=0
+    )
+    n = zyx.shape[0]
+    coords = np.full((cap, 4), -1, np.int32)
+    coords[:n, 0] = 0
+    coords[:n, 1:] = zyx
+    coords = jnp.asarray(coords)
+    feats = jnp.asarray(rng.normal(size=(cap, 8)).astype(np.float32))
+    feats = jnp.where((coords[:, 0] >= 0)[:, None], feats, 0)
+    st = SparseTensor(feats, coords, grid, 1)
+    nbr = build_neighbor_map(st, 3)
+    w = jnp.asarray(rng.normal(size=(27, 8, 12)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(12,)).astype(np.float32))
+
+    o_pair = subm_conv_apply(feats, nbr, w, b, form="pair")
+    o_full = subm_conv_apply(feats, nbr, w, b, form="full")
+    np.testing.assert_allclose(np.asarray(o_pair), np.asarray(o_full),
+                               atol=2e-5, rtol=1e-5)
+
+    def loss(form):
+        def f(fe, we):
+            out = subm_conv_apply(fe, nbr, we, form=form)
+            return jnp.sum(jnp.cos(jnp.where((coords[:, 0] >= 0)[:, None], out, 0)))
+        return f
+
+    gp = jax.grad(loss("pair"), argnums=(0, 1))(feats, w)
+    gf = jax.grad(loss("full"), argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gf[0]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gf[1]), atol=2e-5)
