@@ -53,12 +53,12 @@ _SEL_PER_STEP = 8  # selections per grid step (amortizes pipeline cost)
 
 def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
                 dist_ref, last_ref, coord_ref, bmax_ref, barg_ref, gmax_ref,
-                sem, *, rows):
+                sem, *, rows, block_rows, group, sel_per_step):
     """Grid step i selects point i. The per-step pass runs in static row
     blocks so live temporaries stay ~0.25 MB next to the ~14 MB resident
     scratch; each block is guarded by the AABB lower-bound test.
 
-    Blocks are organized in a two-level tournament (groups of _GROUP with
+    Blocks are organized in a two-level tournament (groups of group with
     a cached group AABB + group max-min-distance): the per-step scalar
     sweep visits groups and descends only into groups whose AABB lower
     bound can still change something / that hold the global argmax. At
@@ -66,21 +66,21 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
     were the dominant cost (~8us/step)."""
     i = pl.program_id(0)
     big = jnp.int32(rows * _LANES)
-    n_blocks = rows // _BLOCK_ROWS
-    n_groups = -(-n_blocks // _GROUP)
+    n_blocks = rows // block_rows
+    n_groups = -(-n_blocks // group)
 
     def block_iota(b):
-        r = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 0)
-        c = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_ROWS, _LANES), 1)
-        return (b * _BLOCK_ROWS + r) * _LANES + c
+        r = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANES), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (block_rows, _LANES), 1)
+        return (b * block_rows + r) * _LANES + c
 
     def block_slice(b):
-        return pl.ds(pl.multiple_of(b * _BLOCK_ROWS, _BLOCK_ROWS), _BLOCK_ROWS)
+        return pl.ds(pl.multiple_of(b * block_rows, block_rows), block_rows)
 
     def extract_coords(pos):
         """Selected coords from an 8-row aligned window around ``pos`` —
         3 masked reductions over (8, 128) instead of the full
-        (_BLOCK_ROWS, 128) block (~1us/selection saved at 40k picks)."""
+        (block_rows, 128) block (~1us/selection saved at 40k picks)."""
         row = pos // _LANES
         base8 = (row // 8) * 8
         sl = pl.ds(pl.multiple_of(base8, 8), 8)
@@ -115,12 +115,12 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
         return dx * dx + dy * dy + dz * dz
 
     def group_refresh(g):
-        base = g * _GROUP
+        base = g * group
 
         def m_body(j, acc):
             return jnp.maximum(acc, bmax_ref[base + j])
 
-        gmax_ref[g] = jax.lax.fori_loop(0, _GROUP, m_body, -jnp.inf)
+        gmax_ref[g] = jax.lax.fori_loop(0, group, m_body, -jnp.inf)
 
     def select_next(i_sel):
         """One FPS selection: prune-update the min-distances from the last
@@ -152,7 +152,7 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
             @pl.when(glb2 < gmax_ref[g])
             def _():
                 def member(j, _):
-                    b = g * _GROUP + j
+                    b = g * group + j
 
                     @pl.when(b < n_blocks)
                     def _():
@@ -160,7 +160,7 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
 
                     return 0
 
-                jax.lax.fori_loop(0, _GROUP, member, 0)
+                jax.lax.fori_loop(0, group, member, 0)
                 group_refresh(g)
 
             return 0
@@ -181,16 +181,16 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
         )
 
         def pick_body(j, acc):
-            b = gwin * _GROUP + j
+            b = gwin * group + j
             take = (bmax_ref[b] == gbest) & (acc == big)
             return jnp.where(take, barg_ref[b], acc)
 
-        nxt = jax.lax.fori_loop(0, _GROUP, pick_body, big)
+        nxt = jax.lax.fori_loop(0, group, pick_body, big)
         write_idx(i_sel, nxt)
         last_ref[0] = nxt
         extract_coords(nxt)
 
-    # _SEL_PER_STEP selections per grid step amortize the ~1.5-2.5us
+    # sel_per_step selections per grid step amortize the ~1.5-2.5us
     # Mosaic pipeline cost per grid step (measured ~60% of per-selection
     # time at 40k selections)
     @pl.when(i == 0)
@@ -217,7 +217,7 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
             barg_ref[b] = big
             return 0
 
-        jax.lax.fori_loop(n_blocks, n_groups * _GROUP, pad_body, 0)
+        jax.lax.fori_loop(n_blocks, n_groups * group, pad_body, 0)
 
         def ginit_body(g, _):
             group_refresh(g)
@@ -230,33 +230,53 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
         write_idx(0, first)
         last_ref[0] = first
         extract_coords(first)
-        for t in range(1, _SEL_PER_STEP):
+        for t in range(1, sel_per_step):
             select_next(t)
 
     @pl.when(i > 0)
     def _():
-        for t in range(_SEL_PER_STEP):
-            select_next(i * _SEL_PER_STEP + t)
+        for t in range(sel_per_step):
+            select_next(i * sel_per_step + t)
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_samples", "interpret", "block_rows", "group", "sel_per_step"
+    ),
+)
 def furthest_point_sample_pallas(
     points: jnp.ndarray,
     num_samples: int,
     valid_mask: jnp.ndarray | None = None,
     interpret: bool = False,
+    block_rows: int | None = None,
+    group: int = _GROUP,
+    sel_per_step: int = _SEL_PER_STEP,
 ) -> jnp.ndarray:
     """(N, 3) [+ (N,) mask] -> (num_samples,) int32 indices.
 
     Points are spatially bucket-sorted (16x16 BEV cells) before the
     kernel so the per-block AABBs are tight and pruning bites; results
     map back to original indices. The first selected point is the first
-    valid point in ORIGINAL order (matching the XLA reference)."""
+    valid point in ORIGINAL order (matching the XLA reference).
+
+    ``block_rows``/``group``/``sel_per_step`` tune the kernel's pruning
+    granularity / tournament fan-in / per-grid-step batching. Swept on
+    v5e at the production pipeline shapes (N=393k/K=25k, N=425k/K=40k —
+    scripts/bench_fps_tuning.py): (256, 8, 8) won at 42.8/66.3 ms;
+    128-row blocks lost ~18% (50.2/81.4) and 64-row blocks ~35%
+    (59.5/96.5) — finer pruning does not pay back the extra scalar sweep
+    — and group=16 or sel_per_step=16 never helped. The selected SET is
+    identical across block layouts at these shapes (checked in the
+    sweep); only exact-tie ordering could differ."""
     N = points.shape[0]
-    per_block = _BLOCK_ROWS * _LANES
+    if block_rows is None:
+        block_rows = _BLOCK_ROWS
+    per_block = block_rows * _LANES
     pad = (-N) % per_block
     rows = (N + pad) // _LANES
-    n_blocks = rows // _BLOCK_ROWS
+    n_blocks = rows // block_rows
 
     pts_f = points.astype(jnp.float32)
     valid = (
@@ -296,17 +316,17 @@ def furthest_point_sample_pallas(
     pb = pts.reshape(n_blocks, per_block, 3)
     blo = jnp.min(jnp.where(pv, pb, jnp.inf), axis=1)  # (n_blocks, 3)
     bhi = jnp.max(jnp.where(pv, pb, -jnp.inf), axis=1)
-    n_groups = -(-n_blocks // _GROUP)
-    gpad = n_groups * _GROUP - n_blocks
+    n_groups = -(-n_blocks // group)
+    gpad = n_groups * group - n_blocks
     glo = jnp.min(
         jnp.pad(blo, ((0, gpad), (0, 0)), constant_values=jnp.inf).reshape(
-            n_groups, _GROUP, 3
+            n_groups, group, 3
         ),
         axis=1,
     )
     ghi = jnp.max(
         jnp.pad(bhi, ((0, gpad), (0, 0)), constant_values=-jnp.inf).reshape(
-            n_groups, _GROUP, 3
+            n_groups, group, 3
         ),
         axis=1,
     )
@@ -327,10 +347,13 @@ def furthest_point_sample_pallas(
     vmem_bytes = (4 * rows * _LANES * 4) + (num_samples + kpad) * 4 + (4 << 20)
 
     idx_sorted = pl.pallas_call(
-        functools.partial(_fps_kernel, rows=rows),
+        functools.partial(
+            _fps_kernel, rows=rows, block_rows=block_rows, group=group,
+            sel_per_step=sel_per_step,
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(-(-num_samples // _SEL_PER_STEP),),
+            grid=(-(-num_samples // sel_per_step),),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -343,8 +366,8 @@ def furthest_point_sample_pallas(
                 pltpu.VMEM((rows, _LANES), jnp.float32),
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.SMEM((3,), jnp.float32),
-                pltpu.SMEM((n_groups * _GROUP,), jnp.float32),
-                pltpu.SMEM((n_groups * _GROUP,), jnp.int32),
+                pltpu.SMEM((n_groups * group,), jnp.float32),
+                pltpu.SMEM((n_groups * group,), jnp.int32),
                 pltpu.SMEM((n_groups,), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
