@@ -54,11 +54,15 @@ def ball_query(
     points: jnp.ndarray,
     centers: jnp.ndarray,
     points_valid: jnp.ndarray | None = None,
-    chunk: int = 256,
+    chunk: int = 128,
     block: int = 32768,
     impl: str = "auto",
 ) -> jnp.ndarray:
-    """points (N, 3), centers (M, 3) -> (M, nsample) int32."""
+    """points (N, 3), centers (M, 3) -> (M, nsample) int32.
+
+    ``chunk`` default swept on v5e at the production shape (25k centers x
+    393k pre-reduced points, scripts/bench_bq_sweep.py): 128 at 41.5 ms
+    vs 256 at 45.6; block 8192 and grid_dim 64 confirmed best."""
     if impl == "auto":
         impl = "grid" if points.shape[0] >= 65536 else "scan"
     if impl == "grid":

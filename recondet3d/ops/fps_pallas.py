@@ -47,13 +47,13 @@ _LANES = 128
 _BLOCK_ROWS = 256
 
 
-_GROUP = 8  # blocks per tournament group
+_GROUP = 4  # blocks per tournament group
 _SEL_PER_STEP = 8  # selections per grid step (amortizes pipeline cost)
 
 
 def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
                 dist_ref, last_ref, coord_ref, bmax_ref, barg_ref, gmax_ref,
-                sem, *, rows, block_rows, group, sel_per_step):
+                gargb_ref, sem, *, rows, block_rows, group, sel_per_step):
     """Grid step i selects point i. The per-step pass runs in static row
     blocks so live temporaries stay ~0.25 MB next to the ~14 MB resident
     scratch; each block is guarded by the AABB lower-bound test.
@@ -115,12 +115,25 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
         return dx * dx + dy * dy + dz * dz
 
     def group_refresh(g):
+        """Recompute a group's max min-distance AND the first member block
+        achieving it. Tracking the argmax block here (refreshes run only
+        for updated groups, ~1-2 per selection) removes the 8-iteration
+        member scan the global argmax otherwise pays EVERY selection —
+        measured ~0.9us of the ~1.7us per-selection cost (the scalar
+        tournament loops dominate; scripts/bench_fps_probe.py)."""
         base = g * group
 
         def m_body(j, acc):
-            return jnp.maximum(acc, bmax_ref[base + j])
+            m, ab = acc
+            v = bmax_ref[base + j]
+            take = v > m  # strict: first block on ties, as the flat scan
+            return jnp.where(take, v, m), jnp.where(take, base + j, ab)
 
-        gmax_ref[g] = jax.lax.fori_loop(0, group, m_body, -jnp.inf)
+        gmax, gab = jax.lax.fori_loop(
+            0, group, m_body, (-jnp.inf, jnp.int32(0))
+        )
+        gmax_ref[g] = gmax
+        gargb_ref[g] = gab
 
     def select_next(i_sel):
         """One FPS selection: prune-update the min-distances from the last
@@ -169,23 +182,18 @@ def _fps_kernel(start_ref, aabb_ref, pts_hbm, dist_hbm, idx_ref, pts_ref,
 
         # tournament argmax: first group with a strictly greater max =
         # the group holding the first block achieving the global max —
-        # identical tie-breaking to the flat ascending-block scan
+        # identical tie-breaking to the flat ascending-block scan. The
+        # winning block comes straight from the per-group argmax cache.
         def gbest_body(g, acc):
-            best, gwin = acc
+            best, bwin = acc
             m = gmax_ref[g]
             take = m > best
-            return jnp.where(take, m, best), jnp.where(take, g, gwin)
+            return jnp.where(take, m, best), jnp.where(take, gargb_ref[g], bwin)
 
-        gbest, gwin = jax.lax.fori_loop(
+        _, bwin = jax.lax.fori_loop(
             0, n_groups, gbest_body, (-jnp.inf, jnp.int32(0))
         )
-
-        def pick_body(j, acc):
-            b = gwin * group + j
-            take = (bmax_ref[b] == gbest) & (acc == big)
-            return jnp.where(take, barg_ref[b], acc)
-
-        nxt = jax.lax.fori_loop(0, group, pick_body, big)
+        nxt = barg_ref[bwin]
         write_idx(i_sel, nxt)
         last_ref[0] = nxt
         extract_coords(nxt)
@@ -264,12 +272,15 @@ def furthest_point_sample_pallas(
     ``block_rows``/``group``/``sel_per_step`` tune the kernel's pruning
     granularity / tournament fan-in / per-grid-step batching. Swept on
     v5e at the production pipeline shapes (N=393k/K=25k, N=425k/K=40k —
-    scripts/bench_fps_tuning.py): (256, 8, 8) won at 42.8/66.3 ms;
-    128-row blocks lost ~18% (50.2/81.4) and 64-row blocks ~35%
-    (59.5/96.5) — finer pruning does not pay back the extra scalar sweep
-    — and group=16 or sel_per_step=16 never helped. The selected SET is
-    identical across block layouts at these shapes (checked in the
-    sweep); only exact-tie ordering could differ."""
+    scripts/bench_fps_tuning.py): (256, 4, 8) won at 44.0/65.7 ms;
+    group=8 costs ~10% more (48.3/70.7 — fewer groups pass the group
+    AABB test with narrower fan-in, so fewer member tests run per
+    selection), 128-row blocks lose ~18% and 64-row blocks ~35% — finer
+    pruning does not pay back the extra scalar sweep. At much larger
+    block counts (no-pre-reduce clouds, ~83 blocks) wider groups
+    amortize the group scan better; callers there may prefer group=8.
+    The selected SET is identical across block layouts at these shapes
+    (checked in the sweep); only exact-tie ordering could differ."""
     N = points.shape[0]
     if block_rows is None:
         block_rows = _BLOCK_ROWS
@@ -369,6 +380,7 @@ def furthest_point_sample_pallas(
                 pltpu.SMEM((n_groups * group,), jnp.float32),
                 pltpu.SMEM((n_groups * group,), jnp.int32),
                 pltpu.SMEM((n_groups,), jnp.float32),
+                pltpu.SMEM((n_groups,), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

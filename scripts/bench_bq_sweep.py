@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Sweep ball_query implementation knobs at the production pipeline shape.
+
+Isolates the ball-query op itself (the BQ-downsample stage minus its FPS
+anchor selection) on the real reference depth distribution
+(assets/bench_sample/reference_points.npz resampled to pipeline scale,
+voxel-pre-reduced exactly like the e2e bench), and sweeps
+(grid_dim, chunk, block) of the grid-pruned exact implementation.
+
+The selected neighbor sets are implementation-parameter-invariant
+(smallest-nsample-original-indices-in-radius), so every configuration is
+checked for bit-identical output against the default.
+
+Usage: python scripts/bench_bq_sweep.py [iters]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+
+import jax.numpy as jnp
+
+_DISPATCH_MS = 24.0
+
+
+def sync(o):
+    jax.tree_util.tree_map(
+        lambda x: float(np.asarray(jax.device_get(x)).ravel()[0]), o
+    )
+
+
+def timeit(fn, *args, iters=5):
+    for _ in range(2):
+        out = fn(*args)
+        sync(jax.tree_util.tree_map(lambda x: x.sum(), out))
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+        sync(jax.tree_util.tree_map(lambda x: x.sum(), out))
+    return out, max(0.0, (time.time() - t0) / iters * 1000 - _DISPATCH_MS)
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+
+    from recondet3d.data.pipelines.point_pipeline import voxel_pre_reduce
+    from recondet3d.ops.ball_query import _ball_query_grid
+    from recondet3d.ops.sampling import furthest_point_sample
+
+    n_in = 6 * 364 * 644
+    rng = np.random.default_rng(0)
+    ref = np.load(os.path.join(REPO, "assets", "bench_sample",
+                               "reference_points.npz"))["points"].astype(np.float32)
+    idx = rng.integers(0, len(ref), n_in)
+    pts = ref[idx] + rng.normal(0, 0.05, (n_in, 3)).astype(np.float32)
+    msk = np.ones(n_in, bool)
+
+    pcr = (-54.0, -54.0, -5.0, 54.0, 54.0, 6.0)
+    f_vpr = jax.jit(lambda p, m: voxel_pre_reduce(
+        p, m, voxel_size=0.1, point_cloud_range=pcr,
+        max_out=min(393216, len(p))))
+    p0, m0 = f_vpr(jnp.asarray(pts), jnp.asarray(msk))
+    n_act = int(np.asarray(m0).sum())
+    print(f"pre-reduced cloud: {p0.shape[0]} buffer, {n_act} active", flush=True)
+
+    xyz = p0[:, :3]
+    f_fps = jax.jit(lambda p, m: furthest_point_sample(p, 25000, m))
+    anchor_idx = f_fps(xyz, m0)
+    anchors = xyz[anchor_idx]
+    jax.block_until_ready(anchors)
+
+    ref_out = None
+    results = []
+    import itertools
+    combos = list(itertools.product((64, 128), (256, 512), (2048, 8192)))
+    combos += [(96, 256, 4096), (128, 256, 4096), (128, 512, 4096),
+               (160, 512, 2048), (64, 128, 8192)]
+    for grid_dim, chunk, block in combos:
+            if True:
+                f = jax.jit(lambda p, a, m, g=grid_dim, c=chunk, b=block:
+                            _ball_query_grid(0.0, 0.5, 16, p, a, m,
+                                             chunk=c, block=b, grid_dim=g))
+                try:
+                    out, dt = timeit(f, xyz, anchors, m0, iters=iters)
+                except Exception as e:
+                    print(f"g={grid_dim:4d} chunk={chunk:4d} block={block:5d}  "
+                          f"FAILED {type(e).__name__}", flush=True)
+                    continue
+                out_np = np.asarray(out)
+                if ref_out is None:
+                    ref_out = out_np
+                same = bool((out_np == ref_out).all())
+                print(f"g={grid_dim:4d} chunk={chunk:4d} block={block:5d}  "
+                      f"{dt:7.1f} ms  identical={same}", flush=True)
+                results.append(((grid_dim, chunk, block), dt, same))
+
+    best = min(results, key=lambda r: r[1])
+    print(f"\nbest: grid_dim={best[0][0]} chunk={best[0][1]} "
+          f"block={best[0][2]} at {best[1]:.1f} ms (identical={best[2]})",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

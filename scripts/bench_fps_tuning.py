@@ -78,9 +78,11 @@ def main():
 
     base = None
     for br in (64, 128, 256, 512):
-        for grp in (8, 16):
+        for grp in (2, 4, 8, 16):
             for sel in (8, 16):
-                if (grp, sel) != (8, 8) and br not in (64, 128):
+                if (grp, sel) != (8, 8) and br not in (64, 128, 256):
+                    continue
+                if grp in (2, 4) and br != 256:
                     continue
                 for name, n, k in cases:
                     p, m, kk = clouds[name]
