@@ -139,13 +139,35 @@ def measure(backend: str, iters: int) -> float:
 
     # reduce outputs to scalars ON DEVICE: both heads still compute (no
     # DCE), but the host sync transfers 8 bytes instead of ~4.6MB — over a
-    # tunneled backend the full fetch added ~100ms/iter of pure transfer
-    def _run(v, i, c):
+    # tunneled backend the full fetch added ~100ms/iter of pure transfer.
+    # The whole step is repeated REPS times inside ONE jit call via
+    # lax.scan so the fixed ~24ms tunnel dispatch+sync round trip is paid
+    # once per REPS steps, not once per step (CLAUDE.md measurement notes).
+    # The scan carry threads a numerically-zero (~1e-32) image perturbation
+    # derived from the previous step's output, so XLA can neither hoist the
+    # body out of the loop nor run iterations concurrently.
+    reps = 1 if backend == "cpu" else int(
+        os.environ.get("RECONDET3D_BENCH_REPS", "4")
+    )
+
+    def _step(v, i, c):
         out = model.apply(v, i, c)
         return (
-            out["pseudo_points"].sum(),
-            out["aux"]["occupancy_logits"].sum(),
+            out["pseudo_points"].sum().astype(jnp.float32),
+            out["aux"]["occupancy_logits"].sum().astype(jnp.float32),
         )
+
+    def _run(v, i, c):
+        def body(carry, _):
+            eps, _, _ = carry
+            s0, s1 = _step(v, i + eps.astype(i.dtype), c)
+            return (s0 * jnp.float32(1e-38), s0, s1), None
+
+        (_, s0, s1), _ = jax.lax.scan(
+            body, (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)),
+            None, length=reps,
+        )
+        return s0, s1
 
     fwd = jax.jit(_run)
 
@@ -160,8 +182,13 @@ def measure(backend: str, iters: int) -> float:
     print(f"[bench] compile+first {time.time()-t0:.1f}s", file=sys.stderr)
 
     flops = None
-    try:  # XLA's own FLOP count for the whole e2e program (MFU line)
-        ca = fwd.lower(variables, img_j, c2l_j).compile().cost_analysis()
+    try:  # XLA's own FLOP count for ONE e2e step (MFU line) — lower the
+        # single step, not the scan: cost_analysis counts a loop body once
+        # regardless of trip count, so the scan lowering under-reports
+        ca = (
+            jax.jit(_step).lower(variables, img_j, c2l_j)
+            .compile().cost_analysis()
+        )
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = float(ca.get("flops", 0.0)) or None
     except Exception as e:
@@ -171,7 +198,7 @@ def measure(backend: str, iters: int) -> float:
     for _ in range(iters):
         out = fwd(variables, img_j, c2l_j)
         sync(out)
-    dt = (time.time() - t0) / iters
+    dt = (time.time() - t0) / (iters * reps)
     return N_CAMS / dt, flops, dt  # camera frames per second
 
 
