@@ -1,0 +1,62 @@
+"""Shared chip-timing helpers for the profiling/sweep scripts.
+
+Over the axon tunnel every host->device dispatch + scalar sync costs a
+fixed ~24 ms (CLAUDE.md measurement notes). Correct per-op timing
+therefore needs (a) ONE jitted reduction of the whole output pytree to
+ONE scalar — reducing leaves separately pays the round trip per leaf —
+and (b) subtracting TWO round trips per iteration (the op call and the
+reducer call). Earlier script-local timeits reduced per leaf and
+subtracted one round trip, biasing every number +24 ms per output leaf;
+sweeps ranked variants correctly (constant bias) but absolute ms were
+inflated.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DISPATCH_MS = 24.0
+
+_reduce = jax.jit(
+    lambda o: jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(x).astype(jnp.float32), o, jnp.float32(0.0)
+    )
+)
+
+
+def sync(o):
+    float(np.asarray(jax.device_get(_reduce(o))))
+
+
+_null = jax.jit(lambda s: s + 1.0)
+_overhead_ms = None
+
+
+def overhead_ms():
+    """Measured per-iteration overhead of the fn-call + reducer-call sync
+    path on a ~zero-cost op. The two dispatches partially pipeline over
+    the tunnel, so a constant 2x24 ms over-subtracts; measure instead."""
+    global _overhead_ms
+    if _overhead_ms is None:
+        s = jnp.float32(0.0)
+        for _ in range(3):
+            sync(_null(s))
+        t0 = time.time()
+        for _ in range(10):
+            sync(_null(s))
+        _overhead_ms = (time.time() - t0) / 10 * 1000
+    return _overhead_ms
+
+
+def timeit(name, fn, *args, iters=5, width=34):
+    for _ in range(2):  # compile + donation-setup warmups
+        sync(fn(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        sync(fn(*args))
+    dt = max(0.0, (time.time() - t0) / iters * 1000 - overhead_ms())
+    if name:
+        print(f"{name:{width}s} {dt:8.2f} ms", flush=True)
+    return fn(*args), dt

@@ -29,24 +29,11 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 
 import jax.numpy as jnp
 
-_DISPATCH_MS = 24.0
-
-
-def sync(o):
-    jax.tree_util.tree_map(
-        lambda x: float(np.asarray(jax.device_get(x)).ravel()[0]), o
-    )
+from _timing import timeit as _timeit  # noqa: E402
 
 
 def timeit(fn, *args, iters=5):
-    for _ in range(2):
-        out = fn(*args)
-        sync(jax.tree_util.tree_map(lambda x: x.sum(), out))
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-        sync(jax.tree_util.tree_map(lambda x: x.sum(), out))
-    return out, max(0.0, (time.time() - t0) / iters * 1000 - _DISPATCH_MS)
+    return _timeit(None, fn, *args, iters=iters)
 
 
 def main():

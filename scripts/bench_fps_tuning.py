@@ -7,8 +7,11 @@ follow the reference depth distribution (assets/bench_sample). Sweeps
 block_rows (pruning granularity), group (tournament fan-in) and
 sel_per_step (grid-step batching).
 
-Measured (v5e, 2026-08; anchors N=393k/K=25k, fps40k N=425k/K=40k,
-ms per call after subtracting the 24 ms dispatch round-trip):
+Measured (v5e, 2026-08; anchors N=393k/K=25k, fps40k N=425k/K=40k).
+NOTE: the numbers below were taken with the old script-local timeit
+which under-subtracted the tunnel sync by one ~24 ms round trip —
+true per-call times are ~24 ms lower across the board (the constant
+bias does not change the ranking; scripts/_timing.py):
 
   br=256 g=8 s=8 (default):  42.8 / 66.3   <- best
   br=512 g=8 s=8:            47.2 / 73.3
@@ -39,26 +42,12 @@ import jax.numpy as jnp
 
 from recondet3d.ops.fps_pallas import furthest_point_sample_pallas
 
-_DISPATCH_MS = 24.0
+from _timing import timeit as _timeit  # noqa: E402
 
 
 def timeit(name, fn, *args, iters=5):
-    def sync(o):
-        jax.tree_util.tree_map(
-            lambda x: float(
-                np.asarray(jax.device_get(jnp.sum(x.astype(jnp.float32))))
-            ),
-            o,
-        )
-
-    for _ in range(2):
-        sync(fn(*args))
-    t0 = time.time()
-    for _ in range(iters):
-        sync(fn(*args))
-    dt = max(0.0, (time.time() - t0) / iters * 1000 - _DISPATCH_MS)
-    print(f"{name:52s} {dt:8.2f} ms", flush=True)
-    return fn(*args)
+    out, _ = _timeit(name, fn, *args, iters=iters, width=52)
+    return out
 
 
 def main():

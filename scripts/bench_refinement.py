@@ -30,29 +30,12 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 
 import jax.numpy as jnp
 
-_DISPATCH_MS = 24.0  # tunnel dispatch+sync round trip (CLAUDE.md)
-
-
-def _sync(out):
-    # reduce to scalars ON DEVICE before fetching — full-array device_get
-    # hides compute behind tunnel transfer (CLAUDE.md)
-    jax.tree_util.tree_map(
-        lambda x: float(
-            np.asarray(jax.device_get(jnp.sum(x.astype(jnp.float32))))
-        ),
-        out,
-    )
+from _timing import timeit as _timeit  # noqa: E402
 
 
 def timeit(name, fn, *args, iters=5):
-    for _ in range(2):
-        _sync(fn(*args))
-    t0 = time.time()
-    for _ in range(iters):
-        _sync(fn(*args))
-    dt = max(0.0, (time.time() - t0) / iters * 1000 - _DISPATCH_MS)
-    print(f"{name:34s} {dt:8.1f} ms", flush=True)
-    return fn(*args)
+    out, _ = _timeit(name, fn, *args, iters=iters)
+    return out
 
 
 def main():

@@ -28,25 +28,11 @@ import jax.numpy as jnp
 import bench
 
 
-def sync(o):
-    jax.tree_util.tree_map(
-        lambda x: float(np.asarray(jax.device_get(x)).ravel()[0]), o
-    )
-
-
-_DISPATCH_MS = 24.0
+import _timing  # noqa: E402
 
 
 def timeit(name, fn, *args, iters=5):
-    for _ in range(2):
-        out = fn(*args)
-        sync(jax.tree_util.tree_map(lambda x: jnp.asarray(x).sum(), out))
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-        sync(jax.tree_util.tree_map(lambda x: jnp.asarray(x).sum(), out))
-    dt = max(0.0, (time.time() - t0) / iters * 1000 - _DISPATCH_MS)
-    print(f"{name:30s} {dt:8.1f} ms")
+    out, _ = _timing.timeit(name, fn, *args, iters=iters, width=30)
     return out
 
 

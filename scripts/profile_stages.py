@@ -26,25 +26,13 @@ import jax.numpy as jnp
 import bench
 
 
-def sync(o):
-    jax.tree_util.tree_map(
-        lambda x: float(np.asarray(jax.device_get(x)).ravel()[0]), o
-    )
-
-
-_DISPATCH_MS = 24.0  # fixed tunnel dispatch+sync round trip (CLAUDE.md)
+import _timing  # noqa: E402
+from _timing import DISPATCH_MS as _DISPATCH_MS  # noqa: E402
+from _timing import sync  # noqa: E402
 
 
 def timeit(name, fn, *args, iters=5):
-    for _ in range(2):  # compile + donation-setup warmups
-        out = fn(*args)
-        sync(jax.tree_util.tree_map(lambda x: x.sum(), out))
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-        sync(jax.tree_util.tree_map(lambda x: x.sum(), out))
-    dt = max(0.0, (time.time() - t0) / iters * 1000 - _DISPATCH_MS)
-    print(f"{name:30s} {dt:8.1f} ms")
+    out, _ = _timing.timeit(name, fn, *args, iters=iters, width=30)
     return out
 
 
@@ -160,7 +148,7 @@ def main():
     for _ in range(iters):
         out = fwd(variables, img_j, c2l_j)
         sync(out)
-    dt = max(1e-3, (time.time() - t0) / iters * 1000 - _DISPATCH_MS)
+    dt = max(1e-3, (time.time() - t0) / iters * 1000 - 2 * _DISPATCH_MS)
     print(f"{'TOTAL fused e2e':30s} {dt:8.1f} ms   "
           f"({bench.N_CAMS / (dt / 1000):.2f} frames/s)")
 
