@@ -50,7 +50,8 @@ def test_full_detection_loop(tmp_path, capsys):
     # --num-devices 1: the suite's 8-virtual-device CPU mesh would make the
     # global batch 8 on one physical core (8x slower per step); convergence
     # was measured at batch 1
-    rc = train_main([cfg, "--work-dir", wd, "--max-steps", "48",
+    steps = os.environ.get("RECONDET3D_LOOP_STEPS", "80")
+    rc = train_main([cfg, "--work-dir", wd, "--max-steps", steps,
                      "--num-devices", "1"] + overrides)
     assert rc in (0, None)
     out = capsys.readouterr().out
@@ -73,9 +74,16 @@ def test_full_detection_loop(tmp_path, capsys):
         (m.group(1), float(m.group(2)))
         for m in re.finditer(r"pts_bbox_NuScenes/(\S+): ([0-9.]+)", out)
     )
-    # measured at 48 steps: car_AP 0.18, mAP 0.089, NDS 0.33 (and 0.84 /
-    # 0.42 / 0.57 at 80 steps); thresholds leave seed margin — the point
-    # is NONZERO detection quality through the whole loop
+    # The 48-step trajectory proved machine-sensitive (mAP 0.089 on the
+    # round-1 host, 0.016 on the round-2 host from FP-codegen divergence
+    # alone), so the default runs 80 steps, where the head has clearly
+    # memorized the fixture on both hosts (0.84 car_AP round-1 host).
+    # Thresholds leave wide margin — the point is NONZERO detection
+    # quality through the whole loop.
+    import sys
+
+    print(f"[full-loop] steps={steps} metrics={metrics}",
+          file=sys.__stderr__)
     assert metrics["mAP"] > 0.02, metrics
     assert metrics["car_AP"] > 0.05, metrics
     assert metrics["NDS"] > 0.1, metrics
