@@ -194,11 +194,20 @@ def measure(backend: str, iters: int) -> float:
     except Exception as e:
         print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
 
-    t0 = time.time()
+    # per-call timings, then MIN: the tunnel-shared chip shows heavy
+    # run-to-run interference (same op measured 1.4 vs 57 ms minutes
+    # apart); the min over calls is the stable throughput statistic.
+    ts = []
     for _ in range(iters):
+        t0 = time.time()
         out = fwd(variables, img_j, c2l_j)
         sync(out)
-    dt = (time.time() - t0) / (iters * reps)
+        ts.append(time.time() - t0)
+    dt = min(ts) / reps
+    mean_dt = sum(ts) / len(ts) / reps
+    if mean_dt > 1.1 * dt:
+        print(f"[bench] interference: mean {mean_dt*1e3:.0f} ms vs "
+              f"min {dt*1e3:.0f} ms per step", file=sys.stderr)
     return N_CAMS / dt, flops, dt  # camera frames per second
 
 

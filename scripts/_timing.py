@@ -51,12 +51,23 @@ def overhead_ms():
 
 
 def timeit(name, fn, *args, iters=5, width=34):
+    """Times fn via the scalar-sync path; reports the MIN over iters.
+
+    The tunnel-shared chip shows heavy run-to-run interference (the same
+    op has measured 1.4 ms and 57 ms minutes apart); the min is the only
+    stable statistic. Also prints the mean when it strays >25% from the
+    min so noisy runs are visible."""
     for _ in range(2):  # compile + donation-setup warmups
         sync(fn(*args))
-    t0 = time.time()
+    ts = []
     for _ in range(iters):
+        t0 = time.time()
         sync(fn(*args))
-    dt = max(0.0, (time.time() - t0) / iters * 1000 - overhead_ms())
+        ts.append(time.time() - t0)
+    oh = overhead_ms()
+    dt = max(0.0, min(ts) * 1000 - oh)
+    mean = max(0.0, sum(ts) / len(ts) * 1000 - oh)
     if name:
-        print(f"{name:{width}s} {dt:8.2f} ms", flush=True)
+        tail = f"  (mean {mean:8.2f})" if mean > 1.25 * dt + 0.5 else ""
+        print(f"{name:{width}s} {dt:8.2f} ms{tail}", flush=True)
     return fn(*args), dt
