@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from recondet3d.ops.sparse_conv import (
     SparseTensor,
     build_neighbor_map,
+    sort_by_column,
     sparse_conv_downsample,
     sparse_tensor_from_voxels,
     subm_conv_apply,
@@ -150,7 +151,11 @@ class SparseEncoder(nn.Module):
         st = sparse_tensor_from_voxels(
             voxel_features, coors, tuple(self.sparse_shape), batch_size
         )
-        nbr = build_neighbor_map(st, 3)
+        # one (b,y,x,z) sort of the appearance-ordered voxelize output
+        # unlocks the bit-packed column lookup for every map build below
+        # (downsample outputs are ranked column-sorted by construction)
+        st = sort_by_column(st)
+        nbr = build_neighbor_map(st, 3, order="col")
         mask = st.valid
 
         # conv_input (subm conv + BN + ReLU)
@@ -173,7 +178,7 @@ class SparseEncoder(nn.Module):
                         max_out=self.stage_caps[min(i + 1, len(self.stage_caps) - 1)],
                         name=f"encoder_layer{i+1}_down",
                     )(st, train)
-                    nbr = build_neighbor_map(st, 3)
+                    nbr = build_neighbor_map(st, 3, order="col")
                     mask = st.valid
                 else:
                     feats = _SparseBasicBlock(

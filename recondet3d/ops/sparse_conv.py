@@ -40,6 +40,7 @@ import numpy as np
 __all__ = [
     "SparseTensor",
     "build_neighbor_map",
+    "sort_by_column",
     "sparse_conv_downsample",
     "subm_conv_apply",
     "sparse_tensor_from_voxels",
@@ -140,7 +141,93 @@ def _lookup_rows(active_ids: jnp.ndarray, query_ids: jnp.ndarray, sentinel) -> j
     return out[N:]
 
 
-def build_neighbor_map(st: SparseTensor, kernel=3) -> jnp.ndarray:
+def _yxz_ids(coords: jnp.ndarray, grid, batch_size: int) -> jnp.ndarray:
+    """Column-major linearization ((b*Y + y)*X + x)*Z + z; invalid rows ->
+    sentinel (max id). Sorting actives by THIS key groups each vertical
+    (b, y, x) column contiguously with z ascending — the layout the
+    bit-packed column lookup requires."""
+    Z, Y, X = grid
+    valid = coords[:, 0] >= 0
+    ids = ((coords[:, 0] * Y + coords[:, 2]) * X + coords[:, 3]) * Z + coords[:, 1]
+    sentinel = jnp.int32(batch_size * Z * Y * X)
+    return jnp.where(valid, ids.astype(jnp.int32), sentinel)
+
+
+def sort_by_column(st: SparseTensor) -> SparseTensor:
+    """Permute the active set into (b, y, x, z) order (invalid rows last).
+
+    Establishes the precondition of ``build_neighbor_map(order="col")``;
+    one ~N argsort + two ~N row gathers (sub-ms at encoder capacities).
+    All consumers of SparseTensor are row-order agnostic (coords travel
+    with features; BEV densify scatters by coords)."""
+    order = jnp.argsort(_yxz_ids(st.coords, st.grid, st.batch_size))
+    return SparseTensor(
+        st.features[order], st.coords[order], st.grid, st.batch_size
+    )
+
+
+# column scheme: Z must fit the two packed int32 mask words
+_COL_LOOKUP_MAX_Z = 64
+
+
+def _column_tables(coords, valid, grid, batch_size: int):
+    """(n_cols, 3) int32 table [mask_lo, mask_hi, row_start] per vertical
+    column. Requires actives sorted by (b, y, x, z) with invalid last.
+
+    Replaces the (cells+1,) dense id->row table (340MB of HBM for the
+    41x1440x1440 nuScenes grid; random gathers into it measured ~4.7ms
+    per 532k queries on v5e) with a 25MB bit-packed occupancy + prefix
+    structure (~1.1ms for the same queries): the row of active (b,z,y,x)
+    is row_start[col] + popcount(mask below z)."""
+    Z, Y, X = grid
+    n_cols = batch_size * Y * X
+    col = (coords[:, 0] * Y + coords[:, 2]) * X + coords[:, 3]
+    col = jnp.where(valid, col, n_cols).astype(jnp.int32)
+    z = coords[:, 1]
+    lo_bits = jnp.where(
+        valid & (z < 32), jnp.left_shift(jnp.int32(1), jnp.clip(z, 0, 31)), 0
+    )
+    hi_bits = jnp.where(
+        valid & (z >= 32),
+        jnp.left_shift(jnp.int32(1), jnp.clip(z - 32, 0, 31)), 0,
+    )
+    # distinct active cells => distinct bits per column => add == OR
+    lo = jnp.zeros((n_cols + 1,), jnp.int32).at[col].add(lo_bits, mode="drop")
+    hi = jnp.zeros((n_cols + 1,), jnp.int32).at[col].add(hi_bits, mode="drop")
+    cnt = jax.lax.population_count(lo) + jax.lax.population_count(hi)
+    start = jnp.cumsum(cnt) - cnt  # exclusive prefix = first row per column
+    return jnp.stack([lo[:n_cols], hi[:n_cols], start[:n_cols]], axis=-1)
+
+
+def _column_lookup(tables, q_b, q_zyx, in_range, grid, n_rows: int):
+    """Rows of query voxels (q_b, q_zyx) via the packed column tables;
+    absent/out-of-range -> n_rows. One (.., 3)-row gather + popcounts."""
+    Z, Y, X = grid
+    n_cols = tables.shape[0]
+    qcol = (q_b * Y + q_zyx[..., 1]) * X + q_zyx[..., 2]
+    qcol = jnp.where(in_range, qcol, 0).astype(jnp.int32)
+    row = tables[jnp.clip(qcol, 0, n_cols - 1)]  # (..., 3)
+    lo, hi, start = row[..., 0], row[..., 1], row[..., 2]
+    qz = q_zyx[..., 0]
+    zl = jnp.clip(qz, 0, 31)
+    zh = jnp.clip(qz - 32, 0, 31)
+    present = jnp.where(
+        qz < 32,
+        jnp.right_shift(lo, zl) & 1,
+        jnp.right_shift(hi, zh) & 1,
+    )
+    # bits strictly below z; (1<<31)-1 wraps to 0x7fffffff in int32 — the
+    # correct 31-bit mask — and z<32 keeps the hi word out entirely
+    below_lo = jnp.where(qz < 32, jnp.left_shift(jnp.int32(1), zl) - 1, -1)
+    below_hi = jnp.where(qz < 32, 0, jnp.left_shift(jnp.int32(1), zh) - 1)
+    rank = jax.lax.population_count(lo & below_lo) + jax.lax.population_count(
+        hi & below_hi
+    )
+    ok = in_range & (present == 1)
+    return jnp.where(ok, start + rank, n_rows).astype(jnp.int32)
+
+
+def build_neighbor_map(st: SparseTensor, kernel=3, *, order: str = "any") -> jnp.ndarray:
     """(N, K) gather indices for a submanifold conv on the active set.
 
     Entry (n, k) is the row of the active voxel at offset (k - pad) from
@@ -148,12 +235,17 @@ def build_neighbor_map(st: SparseTensor, kernel=3) -> jnp.ndarray:
 
     The submanifold neighbor relation is symmetric — nbr[n, k] = m implies
     nbr[m, K-1-k] = n — so only the (K-1)//2 lexicographically-negative
-    offsets are looked up in the id->row table; the mirror half is filled
-    by one conflict-free transpose-scatter and the center column is the
-    identity. Random-access table gathers are the dominant cost on TPU
-    (~linear in query count; measured 24ms for 27 vs 13ms for 14 columns
-    at N=65536 on the 41x1440x1440 grid), so halving the queries nearly
-    halves the build."""
+    offsets are looked up, and the mirror half is filled by one
+    conflict-free transpose-scatter; the center column is the identity.
+    Random-access table gathers are the dominant cost on TPU (~linear in
+    query count), so halving the queries nearly halves the build.
+
+    ``order="col"`` (caller guarantees actives sorted by (b, y, x, z)
+    with invalid rows last — ``sort_by_column`` / the downsample's ranked
+    output) answers lookups from a bit-packed per-column occupancy table
+    (25MB vs the 340MB dense id->row table on the 41x1440x1440 grid;
+    measured ~2x faster end-to-end at stage-0 production shapes).
+    ``order="any"`` (default) uses the dense table / merged sort."""
     kernel = _triple(kernel)
     Z, Y, X = st.grid
     N = st.coords.shape[0]
@@ -164,9 +256,6 @@ def build_neighbor_map(st: SparseTensor, kernel=3) -> jnp.ndarray:
     H = K // 2
     pad = (np.asarray(kernel) - 1) // 2
 
-    ids = _linear_ids(st.coords, st.grid, st.batch_size)
-    sentinel = jnp.int32(st.batch_size * Z * Y * X)
-
     offs = jnp.asarray(offsets[:H] - pad, jnp.int32)  # (H, 3) negative half
     nbr_zyx = st.coords[:, None, 1:4] + offs[None]  # (N, H, 3)
     in_range = jnp.all(
@@ -174,15 +263,25 @@ def build_neighbor_map(st: SparseTensor, kernel=3) -> jnp.ndarray:
     )
     in_range &= st.valid[:, None]
     b = st.coords[:, 0:1]
-    cand = (
-        ((b * Z + nbr_zyx[..., 0]) * Y + nbr_zyx[..., 1]) * X + nbr_zyx[..., 2]
-    ).astype(jnp.int32)
-    cand = jnp.where(in_range, cand, sentinel)
-    n_cells = st.batch_size * Z * Y * X
-    if n_cells <= _DENSE_LOOKUP_MAX_CELLS:
-        half = _dense_lookup_rows(ids, cand.reshape(-1), sentinel, n_cells)
+    if order == "col" and Z <= _COL_LOOKUP_MAX_Z:
+        tables = _column_tables(st.coords, st.valid, st.grid, st.batch_size)
+        half = _column_lookup(
+            tables, jnp.broadcast_to(b, (N, H)), nbr_zyx, in_range,
+            st.grid, N,
+        )
     else:
-        half = _lookup_rows(ids, cand.reshape(-1), sentinel)
+        ids = _linear_ids(st.coords, st.grid, st.batch_size)
+        sentinel = jnp.int32(st.batch_size * Z * Y * X)
+        cand = (
+            ((b * Z + nbr_zyx[..., 0]) * Y + nbr_zyx[..., 1]) * X
+            + nbr_zyx[..., 2]
+        ).astype(jnp.int32)
+        cand = jnp.where(in_range, cand, sentinel)
+        n_cells = st.batch_size * Z * Y * X
+        if n_cells <= _DENSE_LOOKUP_MAX_CELLS:
+            half = _dense_lookup_rows(ids, cand.reshape(-1), sentinel, n_cells)
+        else:
+            half = _lookup_rows(ids, cand.reshape(-1), sentinel)
     half = half.reshape(N, H)  # (N, H); N marks missing
 
     # mirror half via transpose-scatter: found pair (n, k, m) fills slot
@@ -450,8 +549,11 @@ def _downsample_gather_map(
     )
     ok &= (coords[:, 0] >= 0)[:, None]
     b = coords[:, 0:1]
+    # column-major (b, y, x, z) linearization: ranked ascending, the
+    # output active set comes out sorted by (b, y, x, z) — exactly the
+    # precondition of build_neighbor_map(order="col") for the next stage
     out_cell = (
-        ((b * oZ + o_zyx[..., 0]) * oY + o_zyx[..., 1]) * oX + o_zyx[..., 2]
+        ((b * oY + o_zyx[..., 1]) * oX + o_zyx[..., 2]) * oZ + o_zyx[..., 0]
     ).astype(jnp.int32)
     n_cells = batch_size * oZ * oY * oX
     sentinel = jnp.int32(n_cells)
@@ -487,9 +589,9 @@ def _downsample_gather_map(
     out_valid = uniq != sentinel
     ob = jnp.where(out_valid, uniq // (oZ * oY * oX), -1)
     rem = uniq % (oZ * oY * oX)
-    oz = rem // (oY * oX)
-    oy = (rem % (oY * oX)) // oX
-    ox = rem % oX
+    oy = rem // (oX * oZ)
+    ox = (rem % (oX * oZ)) // oZ
+    oz = rem % oZ
     out_coords = jnp.stack(
         [ob, jnp.where(out_valid, oz, -1), jnp.where(out_valid, oy, -1),
          jnp.where(out_valid, ox, -1)], axis=-1

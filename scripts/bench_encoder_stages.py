@@ -31,6 +31,7 @@ from _timing import timeit  # noqa: E402
 from recondet3d.ops.sparse_conv import (  # noqa: E402
     SparseTensor,
     build_neighbor_map,
+    sort_by_column,
     sparse_conv_downsample,
     subm_conv_apply,
     to_dense_bev,
@@ -69,6 +70,14 @@ def main():
     coords, grid = make_stage0()
     feats = jax.random.normal(rng, (CAPS[0], CHANNELS[0]), jnp.bfloat16)
     st = SparseTensor(feats, coords, grid, 1)
+    # production precondition for order="col": stage0 sorted once, the
+    # downsample outputs below are ranked column-sorted by construction
+    # (jit over (f, c) only — jitting the NamedTuple itself would trace
+    # the static grid/batch_size fields into device arrays)
+    sort_fn = jax.jit(lambda f, c, g=grid: sort_by_column(
+        SparseTensor(f, c, g, 1))[:2])
+    sf, sc = sort_fn(st.features, st.coords)
+    st = SparseTensor(sf, sc, grid, 1)
 
     total = 0.0
     for i in range(4):
@@ -76,8 +85,12 @@ def main():
         grid_i = st.grid
         nbr_fn = jax.jit(lambda f, c, g=grid_i: build_neighbor_map(
             SparseTensor(f, c, g, 1), 3))
-        nbr, dt = timeit(f"s{i} nbr_map (N={st.features.shape[0]}, "
-                         f"grid={st.grid})", nbr_fn, st.features, st.coords,
+        _, dt_any = timeit(f"s{i} nbr_map any (N={st.features.shape[0]}, "
+                           f"grid={st.grid})", nbr_fn, st.features, st.coords,
+                           iters=iters, width=46)
+        col_fn = jax.jit(lambda f, c, g=grid_i: build_neighbor_map(
+            SparseTensor(f, c, g, 1), 3, order="col"))
+        nbr, dt = timeit(f"s{i} nbr_map col", col_fn, st.features, st.coords,
                          iters=iters, width=46)
         total += dt
 

@@ -255,3 +255,46 @@ def test_pair_form_equals_full_form():
     gf = jax.grad(loss("full"), argnums=(0, 1))(feats, w)
     np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gf[0]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gf[1]), atol=2e-5)
+
+
+def test_column_lookup_matches_dense():
+    """order="col" neighbor maps (bit-packed per-column occupancy +
+    popcount ranking) must equal the dense-table maps after sorting the
+    active set by (b, y, x, z); exercised across the two-word mask split
+    (Z > 32), batch > 1, and invalid padding rows."""
+    from recondet3d.ops.sparse_conv import sort_by_column
+
+    rng = np.random.default_rng(7)
+    for grid, B, n_act, cap in [
+        ((41, 24, 24), 2, 300, 384),  # Z > 32: lo+hi words
+        ((6, 16, 16), 1, 120, 160),
+        ((33, 8, 8), 3, 200, 256),  # z == 32 boundary reachable
+    ]:
+        st, _, _ = _random_sparse(rng, B, grid, n_act, 4, cap)
+        st = sort_by_column(st)
+        ref = build_neighbor_map(st, 3, order="any")
+        col = build_neighbor_map(st, 3, order="col")
+        np.testing.assert_array_equal(np.asarray(col), np.asarray(ref))
+
+
+def test_downsample_output_column_sorted():
+    """The ranked downsample output must be sorted by (b, y, x, z) with
+    invalid rows last — the precondition the next stage's order="col"
+    map build relies on."""
+    rng = np.random.default_rng(8)
+    grid = (9, 14, 14)
+    st, _, _ = _random_sparse(rng, 2, grid, 150, 4, 192)
+    W = jnp.asarray(rng.normal(size=(27, 4, 8)).astype(np.float32) * 0.1)
+    out = sparse_conv_downsample(
+        st, W, None, kernel=3, stride=2, padding=1, max_out=256
+    )
+    oc = np.asarray(out.coords)
+    valid = oc[:, 0] >= 0
+    assert valid.sum() > 0
+    # invalid rows strictly after valid rows
+    assert not valid[np.argmin(valid):].any() or valid.all()
+    oz, oy, ox = grid[0] // 2 + 1, grid[1] // 2 + 1, grid[2] // 2 + 1
+    keys = ((oc[valid, 0] * oy + oc[valid, 2]) * ox + oc[valid, 3]) * oz + oc[
+        valid, 1
+    ]
+    assert (np.diff(keys) > 0).all()
