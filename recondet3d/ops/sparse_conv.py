@@ -303,16 +303,25 @@ def build_neighbor_map(st: SparseTensor, kernel=3, *, order: str = "any") -> jnp
 
 def _gather_gemm(features, gather_map, weight):
     """out[m] = sum_k features[gather_map(m, k)] @ W[k]; map entries == N
-    (the padded zero row) mark missing neighbors."""
+    (the padded zero row) mark missing neighbors.
+
+    The optimization_barrier between the gather and the GEMM is a
+    measured ~2x win at encoder shapes (v5e, bench_window_gather.py:
+    fused 4.52/3.79/2.08/1.37 ms vs barrier 2.63/2.06/1.48/1.08 ms at
+    stages 0-3): left fusable, XLA folds the row gather into the GEMM
+    operand and the pair runs ~2x the cost of the gather alone;
+    materializing the (M, K*Cin) operand first prices the conv at
+    gather + a near-free MXU GEMM."""
     N, Cin = features.shape
     M, K = gather_map.shape
     Cout = weight.shape[-1]
     padded = jnp.concatenate(
         [features, jnp.zeros((1, Cin), features.dtype)], axis=0
     )
-    gathered = padded[gather_map]  # (M, K, Cin)
+    gathered = padded[gather_map].reshape(M, K * Cin)
+    gathered = jax.lax.optimization_barrier(gathered)
     return jax.lax.dot_general(
-        gathered.reshape(M, K * Cin),
+        gathered,
         weight.astype(features.dtype).reshape(K * Cin, Cout),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ).astype(features.dtype)
@@ -348,7 +357,8 @@ def _conv_core_bwd(flip_bwd, res, g):
     padded = jnp.concatenate(
         [features, jnp.zeros((1, Cin), features.dtype)], axis=0
     )
-    gathered = padded[gather_map]  # (M, K, Cin)
+    # same gather/GEMM de-fusion barrier as _gather_gemm (see its docstring)
+    gathered = jax.lax.optimization_barrier(padded[gather_map])  # (M, K, Cin)
     dw = jnp.einsum(
         "mkc,md->kcd",
         gathered.astype(jnp.float32),

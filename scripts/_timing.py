@@ -50,6 +50,46 @@ def overhead_ms():
     return _overhead_ms
 
 
+def timeit_scan(name, fn, *args, repeats=32, iters=5, width=34):
+    """Times fn amortized over an in-jit lax.scan of `repeats` calls.
+
+    For ops cheaper than the ~24 ms tunnel overhead, timeit's min-minus-
+    overhead floors to 0; here one dispatch covers `repeats` sequential
+    executions. fn's FIRST arg must be a float array: each iteration
+    perturbs it with a fold-proof always-zero term derived from the
+    carry (so XLA can neither hoist the op out of the loop nor CSE the
+    iterations) and folds the output back into the carry."""
+
+    @jax.jit
+    def rep(s, *a):
+        def body(c, _):
+            a0 = a[0] + jnp.where(c > 1e30, 1.0, 0.0).astype(a[0].dtype)
+            out = fn(a0, *a[1:])
+            red = jax.tree_util.tree_reduce(
+                lambda acc, x: acc + jnp.sum(x).astype(jnp.float32),
+                out, jnp.float32(0.0),
+            )
+            return c + red, None
+        s, _ = jax.lax.scan(body, s, None, length=repeats)
+        return s
+
+    s0 = jnp.float32(0.0)
+    for _ in range(2):
+        sync(rep(s0, *args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.time()
+        sync(rep(s0, *args))
+        ts.append(time.time() - t0)
+    oh = overhead_ms()
+    dt = max(0.0, min(ts) * 1000 - oh) / repeats
+    mean = max(0.0, sum(ts) / len(ts) * 1000 - oh) / repeats
+    if name:
+        tail = f"  (mean {mean:8.3f})" if mean > 1.25 * dt + 0.05 else ""
+        print(f"{name:{width}s} {dt:8.3f} ms{tail}", flush=True)
+    return dt
+
+
 def timeit(name, fn, *args, iters=5, width=34):
     """Times fn via the scalar-sync path; reports the MIN over iters.
 
