@@ -129,7 +129,14 @@ class SparseRefinement(nn.Module):
         voxel_feats = jnp.where((coors[:, 0] >= 0)[:, None], voxel_feats, 0)
         voxel_feats = voxel_feats.astype(self.dtype)
 
+        # stage-seam barriers: letting XLA fuse the voxelize sort machinery
+        # into the encoder's gathers (and the sparse BEV scatter into the
+        # U-Net convs) measured +38 ms on the fused graph vs the parts
+        # (scripts/bench_refinement.py scan rows: encoder alone 48.5 ms,
+        # fused forward 90.7 ms before these barriers)
+        voxel_feats, coors = jax.lax.optimization_barrier((voxel_feats, coors))
         sparse_features = self.middle_encoder(voxel_feats, coors, B, train=train)
+        sparse_features = jax.lax.optimization_barrier(sparse_features)
         occupancy_logits = self.bev_height_occupancy(sparse_features, train=train)
 
         losses: Dict[str, jnp.ndarray] = {}

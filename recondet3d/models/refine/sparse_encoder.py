@@ -109,6 +109,9 @@ class _DownConv(nn.Module):
     stride: Tuple[int, int, int] = (2, 2, 2)
     padding: Tuple[int, int, int] = (1, 1, 1)
     max_out: int = 65536
+    # the encoder keeps its active sets (b, y, x, z)-sorted, so the
+    # column-parallel output ranking applies (sparse_conv.py)
+    order: str = "col"
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
@@ -124,7 +127,7 @@ class _DownConv(nn.Module):
         )
         out = sparse_conv_downsample(
             st, w, None, kernel=self.kernel, stride=self.stride,
-            padding=self.padding, max_out=self.max_out,
+            padding=self.padding, max_out=self.max_out, order=self.order,
         )
         feats = MaskedBatchNorm(name="norm")(out.features, out.valid, train)
         feats = jax.nn.relu(feats)

@@ -194,37 +194,14 @@ def _column_tables(coords, valid, grid, batch_size: int):
     # distinct active cells => distinct bits per column => add == OR
     lo = jnp.zeros((n_cols + 1,), jnp.int32).at[col].add(lo_bits, mode="drop")
     hi = jnp.zeros((n_cols + 1,), jnp.int32).at[col].add(hi_bits, mode="drop")
+    # de-fusion barrier between the scatters and the cumsum/stack phase
+    # (same XLA pathology as _gather_gemm)
+    lo, hi = jax.lax.optimization_barrier((lo, hi))
     cnt = jax.lax.population_count(lo) + jax.lax.population_count(hi)
     start = jnp.cumsum(cnt) - cnt  # exclusive prefix = first row per column
-    return jnp.stack([lo[:n_cols], hi[:n_cols], start[:n_cols]], axis=-1)
-
-
-def _column_lookup(tables, q_b, q_zyx, in_range, grid, n_rows: int):
-    """Rows of query voxels (q_b, q_zyx) via the packed column tables;
-    absent/out-of-range -> n_rows. One (.., 3)-row gather + popcounts."""
-    Z, Y, X = grid
-    n_cols = tables.shape[0]
-    qcol = (q_b * Y + q_zyx[..., 1]) * X + q_zyx[..., 2]
-    qcol = jnp.where(in_range, qcol, 0).astype(jnp.int32)
-    row = tables[jnp.clip(qcol, 0, n_cols - 1)]  # (..., 3)
-    lo, hi, start = row[..., 0], row[..., 1], row[..., 2]
-    qz = q_zyx[..., 0]
-    zl = jnp.clip(qz, 0, 31)
-    zh = jnp.clip(qz - 32, 0, 31)
-    present = jnp.where(
-        qz < 32,
-        jnp.right_shift(lo, zl) & 1,
-        jnp.right_shift(hi, zh) & 1,
+    return jax.lax.optimization_barrier(
+        jnp.stack([lo[:n_cols], hi[:n_cols], start[:n_cols]], axis=-1)
     )
-    # bits strictly below z; (1<<31)-1 wraps to 0x7fffffff in int32 — the
-    # correct 31-bit mask — and z<32 keeps the hi word out entirely
-    below_lo = jnp.where(qz < 32, jnp.left_shift(jnp.int32(1), zl) - 1, -1)
-    below_hi = jnp.where(qz < 32, 0, jnp.left_shift(jnp.int32(1), zh) - 1)
-    rank = jax.lax.population_count(lo & below_lo) + jax.lax.population_count(
-        hi & below_hi
-    )
-    ok = in_range & (present == 1)
-    return jnp.where(ok, start + rank, n_rows).astype(jnp.int32)
 
 
 def build_neighbor_map(st: SparseTensor, kernel=3, *, order: str = "any") -> jnp.ndarray:
@@ -242,10 +219,16 @@ def build_neighbor_map(st: SparseTensor, kernel=3, *, order: str = "any") -> jnp
 
     ``order="col"`` (caller guarantees actives sorted by (b, y, x, z)
     with invalid rows last — ``sort_by_column`` / the downsample's ranked
-    output) answers lookups from a bit-packed per-column occupancy table
-    (25MB vs the 340MB dense id->row table on the 41x1440x1440 grid;
-    measured ~2x faster end-to-end at stage-0 production shapes).
-    ``order="any"`` (default) uses the dense table / merged sort."""
+    output) answers ALL kz z-taps of a (dy, dx) column from ONE gather
+    of its bit-packed (mask_lo, mask_hi, row_start) table row: row of
+    (b, y', x', z+dz) = start + popcount(mask below z+dz). Random access
+    on v5e is per-ELEMENT-count (~7-12 ns/access regardless of table
+    size — /tmp randbench 2026-08), so the ky*kx=9 column gathers beat
+    the 13-query half-lookup + 13-slot mirror transpose-scatter of the
+    generic path ~2x at production shapes. ``order="any"`` (default)
+    uses the dense table / merged sort with the symmetric half+mirror
+    trick (only the (K-1)//2 negative offsets are queried; the mirror
+    half comes from one conflict-free transpose-scatter)."""
     kernel = _triple(kernel)
     Z, Y, X = st.grid
     N = st.coords.shape[0]
@@ -255,6 +238,62 @@ def build_neighbor_map(st: SparseTensor, kernel=3, *, order: str = "any") -> jnp
         raise ValueError("build_neighbor_map expects odd kernels")
     H = K // 2
     pad = (np.asarray(kernel) - 1) // 2
+    b = st.coords[:, 0:1]
+
+    if order == "col" and Z <= _COL_LOOKUP_MAX_Z:
+        tables = _column_tables(st.coords, st.valid, st.grid, st.batch_size)
+        kz, ky, kx = kernel
+        pz = int(pad[0])
+        n_cols = tables.shape[0]
+        yxo = jnp.asarray(
+            np.stack(
+                np.meshgrid(
+                    np.arange(ky) - pad[1], np.arange(kx) - pad[2],
+                    indexing="ij",
+                ),
+                axis=-1,
+            ).reshape(-1, 2),
+            jnp.int32,
+        )  # (ky*kx, 2), same (iy, ix) order as _kernel_offsets
+        nyx = st.coords[:, None, 2:4] + yxo[None]  # (N, CY, 2)
+        in_col = (
+            (nyx[..., 0] >= 0) & (nyx[..., 0] < Y)
+            & (nyx[..., 1] >= 0) & (nyx[..., 1] < X)
+            & st.valid[:, None]
+        )
+        qcol = (b * Y + nyx[..., 0]) * X + nyx[..., 1]
+        qcol = jnp.where(in_col, qcol, 0)
+        row = tables[jnp.clip(qcol, 0, n_cols - 1)]  # (N, CY, 3)
+        lo, hi, start = row[..., 0], row[..., 1], row[..., 2]
+        z = st.coords[:, 1:2]  # (N, 1) broadcasts over CY
+        blocks = []
+        for iz in range(kz):
+            qz = z + (iz - pz)
+            okz = (qz >= 0) & (qz < Z)
+            zq = jnp.clip(qz, 0, Z - 1)
+            zl = jnp.clip(zq, 0, 31)
+            zh = jnp.clip(zq - 32, 0, 31)
+            present = jnp.where(
+                zq < 32,
+                jnp.right_shift(lo, zl) & 1,
+                jnp.right_shift(hi, zh) & 1,
+            )
+            # bits strictly below z; (1<<31)-1 wraps to 0x7fffffff in
+            # int32 — the correct 31-bit mask — and z<32 keeps the hi
+            # word out entirely
+            below_lo = jnp.where(
+                zq < 32, jnp.left_shift(jnp.int32(1), zl) - 1, -1
+            )
+            below_hi = jnp.where(
+                zq < 32, 0, jnp.left_shift(jnp.int32(1), zh) - 1
+            )
+            rank = jax.lax.population_count(
+                lo & below_lo
+            ) + jax.lax.population_count(hi & below_hi)
+            ok = in_col & okz & (present == 1)
+            blocks.append(jnp.where(ok, start + rank, N).astype(jnp.int32))
+        # tap order k = iz*ky*kx + iy*kx + ix matches _kernel_offsets
+        return jnp.concatenate(blocks, axis=1)
 
     offs = jnp.asarray(offsets[:H] - pad, jnp.int32)  # (H, 3) negative half
     nbr_zyx = st.coords[:, None, 1:4] + offs[None]  # (N, H, 3)
@@ -262,26 +301,18 @@ def build_neighbor_map(st: SparseTensor, kernel=3, *, order: str = "any") -> jnp
         (nbr_zyx >= 0) & (nbr_zyx < jnp.asarray([Z, Y, X], jnp.int32)), axis=-1
     )
     in_range &= st.valid[:, None]
-    b = st.coords[:, 0:1]
-    if order == "col" and Z <= _COL_LOOKUP_MAX_Z:
-        tables = _column_tables(st.coords, st.valid, st.grid, st.batch_size)
-        half = _column_lookup(
-            tables, jnp.broadcast_to(b, (N, H)), nbr_zyx, in_range,
-            st.grid, N,
-        )
+    ids = _linear_ids(st.coords, st.grid, st.batch_size)
+    sentinel = jnp.int32(st.batch_size * Z * Y * X)
+    cand = (
+        ((b * Z + nbr_zyx[..., 0]) * Y + nbr_zyx[..., 1]) * X
+        + nbr_zyx[..., 2]
+    ).astype(jnp.int32)
+    cand = jnp.where(in_range, cand, sentinel)
+    n_cells = st.batch_size * Z * Y * X
+    if n_cells <= _DENSE_LOOKUP_MAX_CELLS:
+        half = _dense_lookup_rows(ids, cand.reshape(-1), sentinel, n_cells)
     else:
-        ids = _linear_ids(st.coords, st.grid, st.batch_size)
-        sentinel = jnp.int32(st.batch_size * Z * Y * X)
-        cand = (
-            ((b * Z + nbr_zyx[..., 0]) * Y + nbr_zyx[..., 1]) * X
-            + nbr_zyx[..., 2]
-        ).astype(jnp.int32)
-        cand = jnp.where(in_range, cand, sentinel)
-        n_cells = st.batch_size * Z * Y * X
-        if n_cells <= _DENSE_LOOKUP_MAX_CELLS:
-            half = _dense_lookup_rows(ids, cand.reshape(-1), sentinel, n_cells)
-        else:
-            half = _lookup_rows(ids, cand.reshape(-1), sentinel)
+        half = _lookup_rows(ids, cand.reshape(-1), sentinel)
     half = half.reshape(N, H)  # (N, H); N marks missing
 
     # mirror half via transpose-scatter: found pair (n, k, m) fills slot
@@ -393,9 +424,12 @@ def _pair_gemm(features, half_map, weight):
     Cout = weight.shape[-1]
     w = weight.astype(features.dtype)
     padded = jnp.concatenate([features, jnp.zeros((1, Cin), features.dtype)])
-    gath = padded[half_map]  # (N, Hc, Cin)
+    # same gather/GEMM de-fusion barrier as _gather_gemm (see its docstring)
+    gath = jax.lax.optimization_barrier(
+        padded[half_map].reshape(N, Hc * Cin)
+    )
     out = jax.lax.dot_general(
-        gath.reshape(N, Hc * Cin), w[:Hc].reshape(Hc * Cin, Cout),
+        gath, w[:Hc].reshape(Hc * Cin, Cout),
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     )
     # mirror half: pair (n, k<H) with m = half_map[n,k] contributes
@@ -406,6 +440,8 @@ def _pair_gemm(features, half_map, weight):
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ).reshape(N, H, Cout)
     rows = half_map[:, :H]  # missing pairs (== N) land in the dead row
+    # de-fuse the GEMM from the scatter-add for the same reason
+    t = jax.lax.optimization_barrier(t)
     mirror = jnp.zeros((N + 1, Cout), out.dtype).at[rows.reshape(-1)].add(
         t.reshape(N * H, Cout), mode="drop"
     )
@@ -512,9 +548,176 @@ def _parent_offsets(kernel, stride) -> np.ndarray:
     ).reshape(-1, 3)
 
 
+def _extract_even_bits(w: jnp.ndarray) -> jnp.ndarray:
+    """Compact the even-indexed bits of a uint32 into bits 0..15 (PEXT
+    with mask 0x55555555, classic 5-step bit-group move)."""
+    w = w & jnp.uint32(0x55555555)
+    w = (w | (w >> 1)) & jnp.uint32(0x33333333)
+    w = (w | (w >> 2)) & jnp.uint32(0x0F0F0F0F)
+    w = (w | (w >> 4)) & jnp.uint32(0x00FF00FF)
+    w = (w | (w >> 8)) & jnp.uint32(0x0000FFFF)
+    return w
+
+
+def _col_downsample_ok(grid, out_grid, kernel, stride, padding) -> bool:
+    """Static guard for the column-parallel downsample ranking: z must be
+    the (3, 2)-strided dim with <= 64 input / <= 32 output planes, y/x
+    each (3, 2) or passthrough (1, 1)."""
+    if (kernel[0], stride[0]) != (3, 2) or padding[0] not in (0, 1):
+        return False
+    if grid[0] > 64 or out_grid[0] > 32:
+        return False
+    for d in (1, 2):
+        if (kernel[d], stride[d], padding[d]) not in (
+            (3, 2, 0), (3, 2, 1), (1, 1, 0)
+        ):
+            return False
+    return True
+
+
+def _downsample_col_ranks(
+    coords, grid, out_grid, batch_size, kernel, stride, padding, o_zyx, D
+):
+    """Output-cell ranks for every downsample candidate via per-COLUMN bit
+    masks — no output-grid-sized cumsum and ~2x fewer random accesses
+    than the occupancy-scatter ranking (v5e random access is priced per
+    ELEMENT, ~7-12 ns regardless of table size).
+
+    Requires coords sorted by (b, y, x, z) with invalid rows last and the
+    _col_downsample_ok guard. Steps, all vector ops except three
+    ~N-element random-access passes:
+
+    1. input column masks: one bit-scatter per active voxel.
+    2. pair-compression: a column's output-z occupancy is
+       OR(mask bits 2zo-pz .. 2zo-pz+2) — a 64-bit neighborhood OR plus
+       an even-bit extract, pure register math per column.
+    3. conflict-free OR across columns: output column (yo, xo) receives
+       from input y in {2yo+pz-2 .. 2yo+pz}, whose residues mod 4 are
+       DISTINCT — scattering into 4x4 residue planes makes every
+       (plane, out-col) slot single-writer, so plain .set works and a
+       static OR-reduce over planes replaces the output-grid cumsum.
+    4. ranks: ONE gather of the packed (mask, row_start) out-column row
+       per (voxel, y/x-candidate-group) answers ALL z-candidates via
+       popcount-below — KC/Dz gathers per voxel instead of KC.
+
+    Returns (m_raw flat (N*KC,) int32 — valid only where the caller's
+    candidate mask holds — and the total output-cell count)."""
+    Z, Y, X = grid
+    oZ, oY, oX = out_grid
+    N = coords.shape[0]
+    Dz, Dy, Dx = D
+    G = Dy * Dx
+    pz = padding[0]
+    valid = coords[:, 0] >= 0
+    b, z, y, x = coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3]
+
+    # 1. input column bit masks (add == OR: distinct active cells)
+    n_in = batch_size * Y * X
+    incol = jnp.where(valid, (b * Y + y) * X + x, n_in).astype(jnp.int32)
+    lo_bits = jnp.where(
+        valid & (z < 32), jnp.left_shift(jnp.int32(1), jnp.clip(z, 0, 31)), 0
+    )
+    hi_bits = jnp.where(
+        valid & (z >= 32),
+        jnp.left_shift(jnp.int32(1), jnp.clip(z - 32, 0, 31)), 0,
+    )
+    ilo = jnp.zeros((n_in + 1,), jnp.int32).at[incol].add(lo_bits, mode="drop")
+    ihi = jnp.zeros((n_in + 1,), jnp.int32).at[incol].add(hi_bits, mode="drop")
+    ipacked = jax.lax.optimization_barrier(jnp.stack([ilo, ihi], axis=-1))
+    mrow = ipacked[jnp.minimum(incol, n_in)]  # (N, 2) row gathers
+    mlo = jax.lax.bitcast_convert_type(mrow[:, 0], jnp.uint32)
+    mhi = jax.lax.bitcast_convert_type(mrow[:, 1], jnp.uint32)
+
+    # 2. 64-bit neighborhood OR + even-bit extract -> out-z mask per column
+    def shr64(lo, hi, k):
+        return (lo >> k) | (hi << (32 - k)), hi >> k
+
+    def shl64(lo, hi, k):
+        return lo << k, (hi << k) | (lo >> (32 - k))
+
+    r1 = shr64(mlo, mhi, 1)
+    if pz == 1:
+        l1 = shl64(mlo, mhi, 1)
+        ulo, uhi = mlo | r1[0] | l1[0], mhi | r1[1] | l1[1]
+    else:
+        r2 = shr64(mlo, mhi, 2)
+        ulo, uhi = mlo | r1[0] | r2[0], mhi | r1[1] | r2[1]
+    om = _extract_even_bits(ulo) | (_extract_even_bits(uhi) << 16)
+    om = om & jnp.uint32((1 << oZ) - 1)
+
+    # 3. residue-plane scatter + OR-reduce -> output column masks
+    first = valid & jnp.concatenate(
+        [jnp.ones((1,), bool), incol[1:] != incol[:-1]]
+    )
+    n_out_cols = batch_size * oY * oX
+    ry = 4 if (kernel[1], stride[1]) == (3, 2) else 1
+    rx = 4 if (kernel[2], stride[2]) == (3, 2) else 1
+    plane = ((y % ry) * rx + (x % rx)).astype(jnp.int32)
+    oy_g = o_zyx[:, :G, 1]  # candidates j < G are the jz=0 group
+    ox_g = o_zyx[:, :G, 2]
+    # range AND tap validity: the D-candidate enumeration over-covers —
+    # e.g. even y under (3,2,1) covers only ONE output row (the second
+    # candidate's tap is 3) — so tap-invalid targets must not scatter
+    tap_y = y[:, None] + padding[1] - oy_g * stride[1]
+    tap_x = x[:, None] + padding[2] - ox_g * stride[2]
+    col_in = (
+        (oy_g >= 0) & (oy_g < oY) & (ox_g >= 0) & (ox_g < oX)
+        & (tap_y >= 0) & (tap_y < kernel[1])
+        & (tap_x >= 0) & (tap_x < kernel[2])
+    )
+    ocol_g = ((b[:, None] * oY + oy_g) * oX + ox_g).astype(jnp.int32)
+    stride_p = n_out_cols + 1
+    slot = jnp.where(
+        col_in & first[:, None],
+        plane[:, None] * stride_p + ocol_g,
+        ry * rx * stride_p,
+    )
+    planes = jnp.zeros((ry * rx * stride_p + 1,), jnp.uint32).at[
+        slot.reshape(-1)
+    ].set(jnp.broadcast_to(om[:, None], slot.shape).reshape(-1), mode="drop")
+    om_cols = planes[:n_out_cols]
+    for i in range(1, ry * rx):
+        om_cols = om_cols | planes[i * stride_p: i * stride_p + n_out_cols]
+    om_cols = jax.lax.optimization_barrier(om_cols)
+
+    cnt = jax.lax.population_count(om_cols).astype(jnp.int32)
+    start = jnp.cumsum(cnt) - cnt  # exclusive prefix
+    n_total = start[-1] + cnt[-1]
+    packed = jnp.concatenate(
+        [
+            jnp.stack(
+                [jax.lax.bitcast_convert_type(om_cols, jnp.int32), start],
+                axis=-1,
+            ),
+            jnp.zeros((1, 2), jnp.int32),
+        ],
+        axis=0,
+    )
+    packed = jax.lax.optimization_barrier(packed)
+
+    # 4. one packed-row gather per (voxel, y/x group); popcount ranks all
+    # z-candidates of the group (their cells are occupied by construction)
+    prow = packed[jnp.where(col_in, ocol_g, n_out_cols)]  # (N, G, 2)
+    gm = jax.lax.bitcast_convert_type(prow[..., 0], jnp.uint32)
+    gstart = prow[..., 1]
+    m_blocks = []
+    for jz in range(Dz):
+        ozj = o_zyx[:, jz * G:(jz + 1) * G, 0]
+        below = jnp.left_shift(
+            jnp.uint32(1), jnp.clip(ozj, 0, 31).astype(jnp.uint32)
+        ) - jnp.uint32(1)
+        rank = jax.lax.population_count(gm & below).astype(jnp.int32)
+        m_blocks.append(gstart + rank)
+    m_raw = jnp.concatenate(m_blocks, axis=1)  # (N, KC), j = jz*G + g
+    return m_raw.reshape(-1), n_total
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel", "stride", "padding", "max_out", "grid", "batch_size"),
+    static_argnames=(
+        "kernel", "stride", "padding", "max_out", "grid", "batch_size",
+        "order",
+    ),
 )
 def _downsample_gather_map(
     coords: jnp.ndarray,
@@ -525,6 +728,7 @@ def _downsample_gather_map(
     stride: Tuple[int, int, int],
     padding: Tuple[int, int, int],
     max_out: int,
+    order: str = "any",
 ):
     """Output active coords + (max_out, K) GATHER rows: entry (m, k) is the
     input row whose voxel sits at tap k of output voxel m, or N if absent.
@@ -569,12 +773,32 @@ def _downsample_gather_map(
     sentinel = jnp.int32(n_cells)
     flat = jnp.where(ok, out_cell, sentinel).reshape(-1)  # (N*KC,)
 
-    if n_cells <= _DENSE_LOOKUP_MAX_CELLS:
+    if order == "col" and _col_downsample_ok(
+        grid, (oZ, oY, oX), kernel, stride, padding
+    ):
+        D = tuple((k - 1) // sd + 1 for k, sd in zip(kernel, stride))
+        m_raw, n_total = _downsample_col_ranks(
+            coords, grid, (oZ, oY, oX), batch_size, kernel, stride,
+            padding, o_zyx, D,
+        )
+        m = jnp.where(
+            ok.reshape(-1) & (m_raw < max_out), m_raw, max_out
+        ).astype(jnp.int32)
+        uniq = jnp.full((max_out,), sentinel, jnp.int32).at[m].set(
+            flat, mode="drop"
+        )
+        n_out = jnp.minimum(n_total, max_out)
+    elif n_cells <= _DENSE_LOOKUP_MAX_CELLS:
         # occupancy scatter + id-ordered cumsum ranks occupied cells —
         # identical ranks/drops to a sort (ascending cell id, lowest
         # max_out kept) at O(cells) traffic instead of an (N*KC) argsort
         occ = jnp.zeros((n_cells + 1,), jnp.int8).at[flat].set(1, mode="drop")
+        # de-fusion barriers between the scatter / cumsum / gather phases
+        # (same XLA pathology as _gather_gemm — fused, the three-phase
+        # ranking measured ~2x its parts at production shapes)
+        occ = jax.lax.optimization_barrier(occ)
         prefix = jnp.cumsum(occ, dtype=jnp.int32)  # inclusive; [cells+1]
+        prefix = jax.lax.optimization_barrier(prefix)
         m = prefix[flat] - 1  # rank of this candidate's cell
         m = jnp.where((flat != sentinel) & (m < max_out), m, max_out).astype(
             jnp.int32
@@ -584,8 +808,8 @@ def _downsample_gather_map(
         )
         n_out = jnp.minimum(prefix[n_cells - 1], max_out)
     else:
-        order = jnp.argsort(flat)
-        sids = flat[order]
+        sort_ix = jnp.argsort(flat)
+        sids = flat[sort_ix]
         is_first = jnp.concatenate([jnp.array([True]), sids[1:] != sids[:-1]])
         svalid = sids != sentinel
         rank = (jnp.cumsum(is_first & svalid) - 1).astype(jnp.int32)
@@ -594,7 +818,7 @@ def _downsample_gather_map(
             jnp.where(is_first & svalid, rank, max_out)
         ].set(sids, mode="drop")
         n_out = jnp.minimum(jnp.sum(is_first & svalid), max_out)
-        m = jnp.full((N * KC,), max_out, jnp.int32).at[order].set(rank)
+        m = jnp.full((N * KC,), max_out, jnp.int32).at[sort_ix].set(rank)
 
     out_valid = uniq != sentinel
     ob = jnp.where(out_valid, uniq // (oZ * oY * oX), -1)
@@ -643,8 +867,15 @@ def sparse_conv_downsample(
     stride=2,
     padding=1,
     max_out: int,
+    order: str = "any",
 ) -> SparseTensor:
-    """Strided sparse conv producing a new (smaller) active set."""
+    """Strided sparse conv producing a new (smaller) active set.
+
+    ``order="col"`` (caller guarantees the active set sorted by
+    (b, y, x, z), invalid rows last) ranks output cells via the
+    column-parallel bit-mask scheme (_downsample_col_ranks) when the
+    static geometry guard holds — falls back to the generic ranking
+    otherwise. Output ordering is identical either way."""
     kernel = _triple(kernel)
     stride = _triple(stride)
     padding = _triple(padding)
@@ -657,6 +888,7 @@ def sparse_conv_downsample(
         stride=stride,
         padding=padding,
         max_out=int(max_out),
+        order=order,
     )
     out_feats = _conv_core(st.features, gather_rows, bwd_rows, weight, False)
     if bias is not None:

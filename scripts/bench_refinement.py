@@ -100,6 +100,14 @@ def main():
 
     timeit("refinement (fused)", f_all, variables, pts, msk, iters=iters)
 
+    # scan-amortized versions (single-dispatch mins above still carry
+    # tunnel noise; these amortize one dispatch over 8 in-jit calls)
+    from _timing import timeit_scan  # noqa: E402
+    timeit_scan("SparseEncoder (scan)", lambda f, v, c: f_enc(v, f, c),
+                feats, variables, coors, repeats=8, iters=iters)
+    timeit_scan("refinement fused (scan)", lambda p, v, m: f_all(v, p, m),
+                pts, variables, msk, repeats=8, iters=iters)
+
 
 if __name__ == "__main__":
     main()

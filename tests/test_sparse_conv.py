@@ -298,3 +298,68 @@ def test_downsample_output_column_sorted():
         valid, 1
     ]
     assert (np.diff(keys) > 0).all()
+
+
+def test_downsample_col_ranking_matches_generic():
+    """order="col" downsample maps (column-parallel bit-mask ranking:
+    pair-compressed masks, residue-plane OR scatter, popcount ranks)
+    must produce byte-identical outputs to the generic occupancy-cumsum
+    ranking on (b, y, x, z)-sorted inputs — across z-word splits
+    (Z > 32), batch > 1, both paddings, the (3,1,1)/(2,1,1) conv_out
+    geometry, and cap overflow."""
+    from recondet3d.ops.sparse_conv import sort_by_column
+
+    rng = np.random.default_rng(11)
+    cases = [
+        # grid, B, n_act, cap, kernel, stride, padding, max_out
+        ((41, 24, 24), 2, 400, 512, (3, 3, 3), (2, 2, 2), (1, 1, 1), 512),
+        ((9, 14, 14), 1, 150, 192, (3, 3, 3), (2, 2, 2), (1, 1, 1), 256),
+        ((11, 12, 12), 2, 200, 256, (3, 3, 3), (2, 2, 2), (0, 1, 1), 256),
+        ((5, 10, 10), 1, 100, 128, (3, 1, 1), (2, 1, 1), (0, 0, 0), 128),
+        ((33, 8, 8), 3, 220, 256, (3, 3, 3), (2, 2, 2), (1, 1, 1), 64),  # overflow
+    ]
+    for grid, B, n_act, cap, k, s, p, mo in cases:
+        st, _, _ = _random_sparse(rng, B, grid, n_act, 4, cap)
+        st = sort_by_column(st)
+        W = jnp.asarray(
+            rng.normal(size=(int(np.prod(k)), 4, 8)).astype(np.float32) * 0.1
+        )
+        ref = sparse_conv_downsample(
+            st, W, None, kernel=k, stride=s, padding=p, max_out=mo,
+            order="any",
+        )
+        col = sparse_conv_downsample(
+            st, W, None, kernel=k, stride=s, padding=p, max_out=mo,
+            order="col",
+        )
+        np.testing.assert_array_equal(np.asarray(col.coords),
+                                      np.asarray(ref.coords))
+        np.testing.assert_allclose(np.asarray(col.features),
+                                   np.asarray(ref.features), atol=1e-5)
+
+
+def test_downsample_col_grad_matches_generic():
+    """The col ranking feeds the same gather/bwd maps, so gradients must
+    match the generic path exactly."""
+    from recondet3d.ops.sparse_conv import sort_by_column
+
+    rng = np.random.default_rng(12)
+    grid = (9, 14, 14)
+    st, _, _ = _random_sparse(rng, 2, grid, 150, 4, 192)
+    st = sort_by_column(st)
+    W = jnp.asarray(rng.normal(size=(27, 4, 8)).astype(np.float32) * 0.1)
+
+    def loss(order):
+        def f(feats, w):
+            out = sparse_conv_downsample(
+                SparseTensor(feats, st.coords, st.grid, st.batch_size),
+                w, None, kernel=3, stride=2, padding=1, max_out=256,
+                order=order,
+            )
+            return jnp.sum(out.features ** 2)
+        return f
+
+    gc = jax.grad(loss("col"), argnums=(0, 1))(st.features, W)
+    ga = jax.grad(loss("any"), argnums=(0, 1))(st.features, W)
+    np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(ga[0]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(ga[1]), atol=2e-5)
