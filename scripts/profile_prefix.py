@@ -9,10 +9,13 @@ This script instead runs PREFIXES of the real forward (each ending in a
 fold-proof scalar), times each, and reports first differences: the cost of
 every stage as it actually runs inside the fused program.
 
-ONE compiled program serves every prefix: each stage is wrapped in a
-``lax.cond`` on a runtime ``upto`` scalar (TPU executes only the taken
-branch; the untaken branch is a zeros-fill whose cost is noise), so the
-7 measurements share a single compile instead of 7 full recompiles.
+Each prefix is its own ``jax.jit`` with a STATIC ``upto`` (a previous
+revision gated stages with ``lax.cond`` on a runtime scalar so one
+compile served all prefixes, but that program was too large for the
+remote-compile service — it ground for ~50 min and died with a broken
+pipe). Static prefixes compile in minutes each, print incrementally,
+and land in the on-disk compile cache; untaken stages are simply absent
+from the program instead of zero-filled cond branches.
 
 Two runtime modes (again no recompile): ``inject=1`` swaps the unprojected
 cloud for a resample of the reference pipeline's own output distribution
@@ -22,6 +25,7 @@ production point load — while keeping the DA3 data dependency alive.
 Usage: python scripts/profile_prefix.py [iters]
 """
 
+import functools
 import os
 import sys
 import time
@@ -93,16 +97,14 @@ def main():
     bk = model.reconstruction_backbone
     refinement = bk.refinement
 
-    def gated(upto, k, fn, shapes):
-        """Run ``fn`` when upto >= k, else produce zeros of the same spec."""
-        return jax.lax.cond(
-            upto >= k, fn,
-            lambda: jax.tree_util.tree_map(
-                lambda s: jnp.zeros(s.shape, s.dtype), shapes
-            ),
-        )
+    def program(img_, c2l_, ref_pts, *, upto, inject):
+        def gated(k, fn):
+            if upto >= k:
+                return fn()
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), jax.eval_shape(fn)
+            )
 
-    def program(img_, c2l_, ref_pts, upto, inject):
         acc = jnp.float32(0)
         x, _ = process_tensor_batch(img_, process_res=bk.process_res)
         acc += jnp.sum(x[0, 0, :2, :2].astype(jnp.float32))
@@ -115,10 +117,7 @@ def main():
             return (out["depth"].astype(jnp.float32),
                     out["intrinsics"].astype(jnp.float32))
 
-        depth, intr = gated(
-            upto, 1, run_da3,
-            jax.eval_shape(run_da3),
-        )
+        depth, intr = gated(1, run_da3)
         acc += depth[0, 0, 0, 0] + intr[0, 0, 0, 0]
 
         def run_unproj():
@@ -141,9 +140,9 @@ def main():
                 )
                 return ref_pts[idx] + jit_r + keep * p, keep[:, 0] <= 0.5
 
-            return jax.lax.cond(inject > 0, injected, lambda: (p, m))
+            return injected() if inject else (p, m)
 
-        p, m = gated(upto, 2, run_unproj, jax.eval_shape(run_unproj))
+        p, m = gated(2, run_unproj)
         acc += jnp.sum(p[:128, 0]) + jnp.sum(m[:128])
 
         def run_prereduce():
@@ -155,7 +154,7 @@ def main():
                 )
             return filter_point_by_range(p, m, tuple(bk.filter_range))
 
-        p1, m1 = gated(upto, 3, run_prereduce, jax.eval_shape(run_prereduce))
+        p1, m1 = gated(3, run_prereduce)
         acc += jnp.sum(p1[:128, 0]) + jnp.sum(m1)
 
         def run_bq():
@@ -165,35 +164,38 @@ def main():
                 compact=True,
             )
 
-        p2, m2 = gated(upto, 4, run_bq, jax.eval_shape(run_bq))
+        p2, m2 = gated(4, run_bq)
         acc += jnp.sum(p2[:128, 0]) + jnp.sum(m2)
 
         def run_fps():
             return fps_downsample(p2, m2, num_points=bk.num_points)
 
-        p3, m3 = gated(upto, 5, run_fps, jax.eval_shape(run_fps))
+        p3, m3 = gated(5, run_fps)
         acc += jnp.sum(p3[:128, 0]) + jnp.sum(m3)
 
         def run_refine():
             _, _, aux = refinement.apply(ref_vars, p3[None], m3[None])
             return aux["occupancy_logits"].astype(jnp.float32)
 
-        logits = gated(upto, 6, run_refine, jax.eval_shape(run_refine))
+        logits = gated(6, run_refine)
         return acc + jnp.sum(logits)
 
-    fn = jax.jit(program)
     names = [
         "input_processor", "da3_forward", "unproject(+inject)",
         "prereduce/rangefilter", "ball_query", "fps", "refinement",
     ]
-    for inject in (1, 0):
+    only = os.environ.get("PROFILE_PREFIX_INJECT")  # "1"/"0" -> one mode
+    modes = (1, 0) if only is None else (int(only),)
+    for inject in modes:
         print(f"point injection: "
               f"{'ON (reference distribution)' if inject else 'off'}",
               flush=True)
         prev = 0.0
         for k, name in enumerate(names):
-            t = timeit(fn, img_j, c2l_j, ref_pts, jnp.int32(k),
-                       jnp.int32(inject), iters=iters)
+            fn = jax.jit(
+                functools.partial(program, upto=k, inject=bool(inject))
+            )
+            t = timeit(fn, img_j, c2l_j, ref_pts, iters=iters)
             print(f"prefix<={name:22s} {t:8.1f} ms   (+{t - prev:7.1f} ms)",
                   flush=True)
             prev = t
