@@ -50,10 +50,8 @@ def filter_point_by_range(points, valid, point_cloud_range):
 
 def compact_points(points, valid, out_size: int):
     """Stable-compact valid rows to the front, truncated/padded to out_size."""
-    order = jnp.argsort(~valid, stable=True)
-    pts = points[order][:out_size]
-    v = valid[order][:out_size]
-    return pts, v
+    order = jnp.argsort(~valid, stable=True)[:out_size]
+    return points[order], valid[order]
 
 
 def ball_query_downsample(
