@@ -29,14 +29,15 @@ class ResDet3D(nn.Module):
 
     def __call__(self, img, cam2lidar_rts, gt_points=None, gt_valid=None,
                  gt_bboxes_3d=None, gt_labels_3d=None, gt_bboxes_valid=None,
-                 lidar2img=None, return_loss: bool = False, train: bool = False):
+                 lidar2img=None, return_loss: bool = False, train: bool = False,
+                 depth_override=None):
         if return_loss:
             return self.forward_train(
                 img, cam2lidar_rts, gt_points, gt_valid,
                 gt_bboxes_3d, gt_labels_3d, gt_bboxes_valid, train,
                 lidar2img=lidar2img,
             )
-        return self.simple_test(img, cam2lidar_rts)
+        return self.simple_test(img, cam2lidar_rts, depth_override=depth_override)
 
     def forward_train(self, img, cam2lidar_rts, gt_points, gt_valid=None,
                       gt_bboxes_3d=None, gt_labels_3d=None,
@@ -62,12 +63,13 @@ class ResDet3D(nn.Module):
             aux["det_preds"] = preds
         return losses, {"pseudo_points": pts, "pseudo_valid": msk, **aux}
 
-    def simple_test(self, img, cam2lidar_rts):
+    def simple_test(self, img, cam2lidar_rts, depth_override=None):
         """Returns per-sample pseudo point clouds (reference:
         ResDet3D.py:184-213 bbox_list[i]['pseudo_points']) and raw head
         predictions (decode on host via pts_bbox_head.decode)."""
         pts, msk, _, aux = self.reconstruction_backbone(
             img, cam2lidar_rts, return_loss=False, train=False,
+            depth_override=depth_override,
         )
         out = {"pseudo_points": pts, "pseudo_valid": msk, "aux": aux}
         if self.pts_bbox_head is not None:

@@ -90,13 +90,28 @@ def timeit_scan(name, fn, *args, repeats=32, iters=5, width=34):
     return dt
 
 
-def timeit(name, fn, *args, iters=5, width=34):
+def flops_of(fn, *args):
+    """XLA's own FLOP count for a jitted fn at these args (None if the
+    backend can't report it)."""
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+V5E_BF16_PEAK = 197e12
+
+
+def timeit(name, fn, *args, iters=5, width=34, mfu=False):
     """Times fn via the scalar-sync path; reports the MIN over iters.
 
     The tunnel-shared chip shows heavy run-to-run interference (the same
     op has measured 1.4 ms and 57 ms minutes apart); the min is the only
     stable statistic. Also prints the mean when it strays >25% from the
-    min so noisy runs are visible."""
+    min so noisy runs are visible. mfu=True appends XLA-counted TFLOP and
+    % of v5e bf16 peak (fn must be a jax.jit wrapper)."""
     for _ in range(2):  # compile + donation-setup warmups
         sync(fn(*args))
     ts = []
@@ -109,5 +124,10 @@ def timeit(name, fn, *args, iters=5, width=34):
     mean = max(0.0, sum(ts) / len(ts) * 1000 - oh)
     if name:
         tail = f"  (mean {mean:8.2f})" if mean > 1.25 * dt + 0.5 else ""
+        if mfu:
+            fl = flops_of(fn, *args)
+            if fl and dt > 0:
+                tail += (f"  {fl/1e12:6.2f} TFLOP"
+                         f"  {fl/(dt*1e-3)/V5E_BF16_PEAK*100:5.1f}% peak")
         print(f"{name:{width}s} {dt:8.2f} ms{tail}", flush=True)
     return fn(*args), dt

@@ -2,8 +2,10 @@
 """AOT-lower (and compile) the FLAGSHIP training step on a virtual multichip
 mesh — production shapes, not the toy dryrun.
 
-Flagship config = configs/resdet3d_centerhead.py: da3-large (6 cams,
-process_res 504, 900x1600 inputs), 40k-point pipeline, SparseRefinement at
+Flagship config = configs/resdet3d_centerhead.py, which inherits
+resdet3d_nuscenes_mini.py: the DA3NESTED-GIANT-LARGE backbone (vitg main +
+vitl metric branch, 1657.9M params; 6 cams, process_res 504, 900x1600
+inputs), 40k-point pipeline, SparseRefinement at
 sparse_shape [41,1440,1440] with production stage caps, BEV occupancy U-Net,
 CenterHead detection losses — the full train step (loss + grads + AdamW)
 jitted over a ('data','model') mesh with the ViT tensor-parallel layout.

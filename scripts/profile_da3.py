@@ -31,9 +31,108 @@ import bench
 import _timing  # noqa: E402
 
 
-def timeit(name, fn, *args, iters=5):
-    out, _ = _timing.timeit(name, fn, *args, iters=iters, width=30)
+def timeit(name, fn, *args, iters=5, mfu=True):
+    out, _ = _timing.timeit(name, fn, *args, iters=iters, width=30, mfu=mfu)
     return out
+
+
+def _profile_nested(model, variables, x, iters):
+    """Dissect the nested preset: anyview (vitg) vs metric (vitl) branch,
+    their ViT/head internals, and the scale-alignment tail."""
+    B, S, H, W, _ = x.shape
+
+    def sub(method_path):
+        def f(v, xx):
+            return model.apply(
+                v, xx, method=lambda m, *a, **k: _resolve(m, method_path)(*a, **k)
+            )
+        return f
+
+    def _resolve(m, path):
+        for p in path.split("."):
+            m = getattr(m, p)
+        return m
+
+    # anyview branch total (vitg backbone + DualDPT + cam dec)
+    def f_anyview(v, xx):
+        out = model.apply(
+            v, xx, ref_view_strategy="saddle_balanced",
+            method=lambda m, *a, **k: m.anyview(*a, **k),
+        )
+        return {"depth": out["depth"], "intrinsics": out["intrinsics"],
+                "depth_conf": out["depth_conf"], "extrinsics": out["extrinsics"]}
+
+    av = timeit("anyview (vitg) total", jax.jit(f_anyview), variables, x, iters=iters)
+
+    # metric branch total (vitl backbone + DPT w/ sky)
+    def f_metric(v, xx):
+        out = model.apply(v, xx, method=lambda m, *a, **k: m.metric(*a, **k))
+        return {"depth": out["depth"], "sky": out["sky"]}
+
+    mt = timeit("metric (vitl) total", jax.jit(f_metric), variables, x, iters=iters)
+
+    # anyview vitg backbone alone
+    def f_vitg(v, xx):
+        return model.apply(
+            v, xx, cam_token=None, export_feat_layers=(),
+            ref_view_strategy="saddle_balanced",
+            method=lambda m, *a, **k: m.anyview.net(*a, **k),
+        )
+
+    feats, _ = timeit("  anyview vitg backbone", jax.jit(f_vitg), variables, x,
+                      iters=iters)
+
+    def f_head(v, ff):
+        return dict(model.apply(
+            v, ff, H, W, patch_start_idx=0,
+            method=lambda m, *a, **k: m.anyview.head(*a, **k),
+        ))
+
+    timeit("  anyview DualDPT head", jax.jit(f_head), variables, feats, iters=iters)
+
+    def f_vitl(v, xx):
+        return model.apply(
+            v, xx, cam_token=None, export_feat_layers=(),
+            ref_view_strategy="saddle_balanced",
+            method=lambda m, *a, **k: m.metric.net(*a, **k),
+        )
+
+    mfeats, _ = timeit("  metric vitl backbone", jax.jit(f_vitl), variables, x,
+                       iters=iters)
+
+    def f_mhead(v, ff):
+        return dict(model.apply(
+            v, ff, H, W, patch_start_idx=0,
+            method=lambda m, *a, **k: m.metric.head(*a, **k),
+        ))
+
+    timeit("  metric DPT head", jax.jit(f_mhead), variables, mfeats, iters=iters)
+
+    # alignment tail: everything after the two branch forwards (arrays only)
+    timeit("  alignment tail", jax.jit(_align_arrays), av, mt, iters=iters)
+
+    def f_all(v, xx):
+        out = model.apply(v, xx, ref_view_strategy="saddle_balanced")
+        return {"depth": out["depth"], "intrinsics": out["intrinsics"]}
+
+    timeit("TOTAL nested fused", jax.jit(f_all), variables, x, iters=iters)
+
+
+def _align_arrays(av, mt):
+    from recondet3d.utils.alignment import (
+        apply_metric_scaling, compute_alignment_mask, compute_sky_mask,
+        least_squares_scale_scalar, masked_quantile,
+    )
+
+    metric_depth = apply_metric_scaling(mt["depth"], av["intrinsics"])
+    non_sky = compute_sky_mask(mt["sky"], threshold=0.3)
+    median_conf = masked_quantile(av["depth_conf"], non_sky, 0.5)
+    align_mask = compute_alignment_mask(
+        av["depth_conf"], non_sky, av["depth"], metric_depth, median_conf
+    )
+    scale = least_squares_scale_scalar(metric_depth, av["depth"], mask=align_mask)
+    q99 = masked_quantile(av["depth"] * scale, non_sky, 0.99)
+    return scale, q99
 
 
 def main():
@@ -56,6 +155,12 @@ def main():
 
     variables = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(0))
     jax.block_until_ready(variables)
+
+    from recondet3d.models.da3.net import NestedDepthAnything3Net
+
+    if isinstance(model, NestedDepthAnything3Net):
+        _profile_nested(model, variables, x, iters)
+        return
 
     # stage 1: ViT backbone (patch embed + blocks + reorder)
     def f_backbone(v, xx):

@@ -108,3 +108,60 @@ def test_train_steps_decrease_loss(tmp_path):
     l0 = jax.tree_util.tree_leaves(state.params)[0]
     r0 = jax.tree_util.tree_leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(l0), np.asarray(r0))
+
+
+@pytest.mark.slow
+def test_checkpoint_across_topologies(tmp_path):
+    """Orbax checkpoints are topology-free: save from a dp4 x tp2 run,
+    restore bitwise-identically onto dp8 x tp1 and onto a single device,
+    and keep training after the reshard (VERDICT r2 ask #9; reference
+    role: mmcv checkpoint/resume under the TPU sharding model)."""
+    from recondet3d.train import latest_checkpoint, load_checkpoint, save_checkpoint
+
+    model = _tiny_model()
+    rng = np.random.default_rng(1)
+    batch = _batch(rng, B=8)
+
+    mesh_a = make_mesh(data=4, model=2)
+    trainer_a = Trainer(
+        model=model, total_steps=3, lr=2e-3, mesh=mesh_a,
+        work_dir=str(tmp_path), checkpoint_interval=None,
+    )
+    state = trainer_a.init_state(jax.random.PRNGKey(0), batch)
+    state, _ = trainer_a.run(state, iter([batch] * 3))
+    save_checkpoint(str(tmp_path), state)
+    path = latest_checkpoint(str(tmp_path))
+    host_params = jax.device_get(state.params)
+    del state, trainer_a
+
+    for data, model_ax in ((8, 1), (1, 1)):
+        devs = jax.devices()[: data * model_ax]
+        mesh_b = make_mesh(devices=devs, data=data, model=model_ax)
+        trainer_b = Trainer(
+            model=model, total_steps=3, lr=2e-3, mesh=mesh_b,
+            work_dir=None, checkpoint_interval=None,
+        )
+        target = trainer_b.init_state(jax.random.PRNGKey(7), batch)
+        restored = load_checkpoint(path, target=jax.device_get(target))
+        assert int(restored.step) == 3
+        # re-place the host pytree with the NEW topology's layout
+        from recondet3d.parallel.tp import shard_params
+
+        resharded = target.replace(
+            step=jnp.asarray(restored.step),
+            params=shard_params(restored.params, mesh_b),
+            batch_stats=jax.device_put(restored.batch_stats),
+            opt_state=jax.device_put(restored.opt_state),
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            jax.device_get(resharded.params), host_params,
+        )
+        # the resharded state must still train
+        b2 = {k: v[: data * model_ax] if k != "img" else v[: data * model_ax]
+              for k, v in _batch(rng, B=max(8, data * model_ax)).items()}
+        state2, hist = trainer_b.run(resharded, iter([b2]))
+        assert int(state2.step) == 4
+        assert np.isfinite(hist[0]["loss"])

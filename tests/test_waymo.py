@@ -48,9 +48,62 @@ def test_create_waymo_infos(tmp_path):
 
 
 def test_tfrecord_stage_gated():
+    """Without the waymo deps the extractor raises ImportError with
+    guidance (skipped when the deps ARE present — then the real test
+    below runs instead)."""
     import pytest
 
     from recondet3d.data.waymo.converter import convert_tfrecords
 
-    with pytest.raises(NotImplementedError, match="waymo-open-dataset"):
-        convert_tfrecords()
+    try:
+        import waymo_open_dataset  # noqa: F401
+
+        pytest.skip("waymo-open-dataset present; real extraction tested")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="waymo-open-dataset"):
+        convert_tfrecords([], "/tmp/unused")
+
+
+def test_tfrecord_extraction_roundtrip(tmp_path):
+    """Full TFRecord -> KITTI layout -> info pkl round trip; exercises
+    the real extractor the moment the waymo deps appear in the env
+    (reference: waymo_converter.py Waymo2KITTI)."""
+    import pytest
+
+    tf = pytest.importorskip("tensorflow")
+    wod = pytest.importorskip("waymo_open_dataset")
+    from waymo_open_dataset import dataset_pb2, label_pb2
+
+    frame = dataset_pb2.Frame()
+    frame.pose.transform.extend(np.eye(4).ravel().tolist())
+    cal = frame.context.camera_calibrations.add()
+    cal.name = 1
+    cal.intrinsic.extend([2000.0, 2000.0, 960.0, 640.0, 0, 0, 0, 0, 0])
+    lab = frame.laser_labels.add()
+    lab.type = label_pb2.Label.TYPE_VEHICLE
+    lab.box.center_x, lab.box.center_y, lab.box.center_z = 10.0, 2.0, -0.25
+    lab.box.length, lab.box.width, lab.box.height = 4.2, 1.8, 1.5
+    lab.box.heading = 0.3
+
+    rec_path = str(tmp_path / "seg.tfrecord")
+    with tf.io.TFRecordWriter(rec_path) as w:
+        w.write(frame.SerializeToString())
+
+    from recondet3d.data.waymo.converter import convert_tfrecords
+
+    pts = np.zeros((50, 6), np.float32)
+    pts[:, :3] = [10.0, 2.0, 0.2]
+    root = str(tmp_path / "out")
+    ids = convert_tfrecords([rec_path], root, parse_points_fn=lambda f: pts)
+    assert ids == ["0000000"]
+
+    paths = create_waymo_infos(root)
+    with open(paths[0], "rb") as f:
+        d = pickle.load(f)
+    info = d["infos"][0]
+    # vehicle-frame bottom-center box round-trips exactly
+    np.testing.assert_allclose(info["gt_boxes"][0, :3], [10, 2, -1], atol=1e-4)
+    np.testing.assert_allclose(info["gt_boxes"][0, 3:6], [4.2, 1.8, 1.5], atol=1e-4)
+    np.testing.assert_allclose(info["gt_boxes"][0, 6], 0.3, atol=1e-4)
+    assert info["num_lidar_pts"][0] == 50
