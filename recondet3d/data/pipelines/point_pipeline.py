@@ -63,6 +63,7 @@ def ball_query_downsample(
     max_radius: float = 0.5,
     sample_num: int = 16,
     compact: bool = False,
+    selection: str = "first",
 ):
     """Density-aware downsample: FPS anchors + union of ball-query neighbors,
     expressed as a mask over the input (reference: BallQueryDownsample:102).
@@ -79,7 +80,8 @@ def ball_query_downsample(
     anchor_idx = furthest_point_sample(xyz, anchor_points, valid)
     anchors = xyz[anchor_idx]
     nbr = ball_query(
-        min_radius, max_radius, sample_num, xyz, anchors, points_valid=valid
+        min_radius, max_radius, sample_num, xyz, anchors, points_valid=valid,
+        selection=selection,
     )  # (A, S)
     sel = jnp.zeros((N,), bool)
     sel = sel.at[nbr.reshape(-1)].set(True)

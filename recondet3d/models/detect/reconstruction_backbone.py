@@ -51,6 +51,10 @@ class ReconstructionBackbone(nn.Module):
     bq_anchor_points: int = 25000
     bq_max_radius: float = 0.5
     bq_sample_num: int = 16
+    # "first" = exact CUDA tie-break (reference parity); "any" = smallest
+    # sorted-position tie-break, which unlocks exact early termination of
+    # the grid ball query's band scans (ops/ball_query.py)
+    bq_selection: str = "first"
     num_points: int = 40000
     gt_num_points: int = 40000
     # Voxel-grid pre-reduction ahead of BQ/FPS (the reference config's
@@ -133,6 +137,7 @@ class ReconstructionBackbone(nn.Module):
                 max_radius=self.bq_max_radius,
                 sample_num=self.bq_sample_num,
                 compact=True,
+                selection=self.bq_selection,
             )
             return fps_downsample(p, m, num_points=self.num_points)
 

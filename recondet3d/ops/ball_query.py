@@ -57,18 +57,23 @@ def ball_query(
     chunk: int = 128,
     block: int = 32768,
     impl: str = "auto",
+    selection: str = "first",
 ) -> jnp.ndarray:
     """points (N, 3), centers (M, 3) -> (M, nsample) int32.
 
     ``chunk`` default swept on v5e at the production shape (25k centers x
     393k pre-reduced points, scripts/bench_bq_sweep.py): 128 at 41.5 ms
-    vs 256 at 45.6; block 8192 and grid_dim 64 confirmed best."""
+    vs 256 at 45.6; block 8192 and grid_dim 64 confirmed best.
+
+    ``selection="any"`` (grid impl only) relaxes the CUDA first-in-input-
+    order tie-break to smallest-sorted-position, enabling exact early
+    termination of the band scans — see _ball_query_grid."""
     if impl == "auto":
         impl = "grid" if points.shape[0] >= 65536 else "scan"
     if impl == "grid":
         return _ball_query_grid(
             min_radius, max_radius, nsample, points, centers, points_valid,
-            chunk=chunk,
+            chunk=chunk, selection=selection,
         )
     return _ball_query_scan(
         min_radius, max_radius, nsample, points, centers, points_valid,
@@ -137,7 +142,7 @@ def _ball_query_scan(
 @functools.partial(
     jax.jit,
     static_argnames=("nsample", "min_radius", "max_radius", "chunk", "block",
-                     "grid_dim"),
+                     "grid_dim", "selection"),
 )
 def _ball_query_grid(
     min_radius: float,
@@ -149,8 +154,18 @@ def _ball_query_grid(
     chunk: int = 256,
     block: int = 8192,
     grid_dim: int = 64,
+    selection: str = "first",
 ) -> jnp.ndarray:
     """Grid-pruned exact ball query.
+
+    ``selection="first"`` (default) keeps the CUDA contract — the nsample
+    smallest ORIGINAL indices in radius. ``selection="any"`` keeps the
+    nsample smallest SORTED-GRID positions instead (equally deterministic,
+    equally in-radius, but a different tie-break), which makes a full
+    candidate set final — band scans early-terminate once every center in
+    the chunk has nsample hits. Use for throughput paths where the exact
+    reference tie-break doesn't matter (the downstream union mask only
+    cares WHICH points are dense, not which representative was kept).
 
     Points are bucket-sorted by (row, col) of a grid_dim^2 BEV grid sized
     from the centers' bounding box (+radius); cell boundaries come from a
@@ -162,7 +177,9 @@ def _ball_query_grid(
     running smallest-nsample merge sees no duplicates."""
     N = points.shape[0]
     M = centers.shape[0]
-    big = jnp.int32(N)
+    # "first" scores are original indices (< N); "any" scores are sorted
+    # positions (< N + pad) — the sentinel must exceed both
+    big = jnp.int32(N if selection == "first" else 2 ** 30)
     G = grid_dim
     n_cells = G * G
     min_sq = float(min_radius) ** 2
@@ -242,12 +259,29 @@ def _ball_query_grid(
             b0 = lo_i // block
             b1 = (hi_i + block - 1) // block
 
-            def body(b, best):
+            def cond(carry):
+                b, best = carry
+                if selection == "first":
+                    # the exact CUDA contract keeps the smallest nsample
+                    # ORIGINAL indices, which are decorrelated from the
+                    # sorted scan order — a full set can still be improved
+                    # by any later block, so no early exit is possible
+                    return b < b1
+                # selection == "any": scores are ascending sorted POSITIONS,
+                # so once every center's candidate set is full no later
+                # block can improve it — exact early termination
+                return (b < b1) & ~jnp.all(best[:, nsample - 1] < big)
+
+            def body(carry):
+                b, best = carry
                 base = b * block
                 p = jax.lax.dynamic_slice(spts, (base, 0), (block, 3))
-                i = jax.lax.dynamic_slice(sorig, (base,), (block,))
                 v = jax.lax.dynamic_slice(sval, (base,), (block,))
                 pos = base + jnp.arange(block, dtype=jnp.int32)
+                if selection == "first":
+                    score_id = jax.lax.dynamic_slice(sorig, (base,), (block,))
+                else:
+                    score_id = pos
                 # per-center exact range mask (kills rounding slop and
                 # cells between c0/c1 belonging to other rows)
                 in_rng = (pos[None, :] >= starts[:, None]) & (
@@ -257,17 +291,21 @@ def _ball_query_grid(
                 in_ball = (d2 <= max_sq) & v[None, :] & in_rng
                 if min_sq > 0:
                     in_ball &= d2 >= min_sq
-                score = jnp.where(in_ball, i[None, :], big)
+                score = jnp.where(in_ball, score_id[None, :], big)
                 merged = jnp.concatenate([best, score], axis=1)
                 neg, _ = jax.lax.top_k(-merged, nsample)
-                return -neg
+                return b + 1, -neg
 
-            return jax.lax.fori_loop(b0, b1, body, best)
+            _, best = jax.lax.while_loop(cond, body, (b0, best))
+            return best
 
         best = jnp.full((chunk, nsample), big, jnp.int32)
         for dr in (-1, 0, 1):
             best = band(dr, best)
         found = best < big
+        if selection == "any":
+            # map sorted positions back to original indices
+            best = sorig[jnp.clip(best, 0, sorig.shape[0] - 1)]
         first = jnp.where(found[:, :1], best[:, :1], 0)
         return jnp.where(found, best, first).astype(jnp.int32)
 

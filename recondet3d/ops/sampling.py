@@ -75,6 +75,12 @@ def furthest_point_sample(
         (K,) int32 indices. Index 0 of the valid set is always selected first
         (CUDA contract).
     """
+    # index selection is non-differentiable (the reference CUDA op has no
+    # backward); stop_gradient keeps JVP/VJP traces of fine-tuning steps
+    # (freeze_da3=False) from descending into the Pallas kernel
+    points = jax.lax.stop_gradient(points)
+    if valid_mask is not None:
+        valid_mask = jax.lax.stop_gradient(valid_mask)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":

@@ -157,3 +157,41 @@ def test_ball_query_grid_matches_scan():
     b = np.asarray(_ball_query_grid(0.2, 0.8, 8, jnp.asarray(pts),
                                     jnp.asarray(cen), None, chunk=64, block=256))
     np.testing.assert_array_equal(a, b)
+
+
+def test_ball_query_any_selection():
+    """selection="any" (early-terminating band scans) returns a valid
+    in-radius neighbor set: same found/not-found centers as the exact
+    CUDA-contract mode, every returned index within radius, and the full
+    nsample quota wherever "first" filled its quota."""
+    import jax.numpy as jnp
+
+    from recondet3d.ops.ball_query import _ball_query_grid
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-10, 10, (6000, 3)).astype(np.float32)
+    pts[:3000] = rng.normal(0, 1.2, (3000, 3))  # dense core
+    centers = rng.uniform(-9, 9, (300, 3)).astype(np.float32)
+    valid = rng.random(6000) < 0.95
+
+    kw = dict(chunk=64, block=512, grid_dim=16)
+    a = np.asarray(_ball_query_grid(
+        0.0, 0.8, 8, jnp.asarray(pts), jnp.asarray(centers),
+        jnp.asarray(valid), selection="first", **kw))
+    b = np.asarray(_ball_query_grid(
+        0.0, 0.8, 8, jnp.asarray(pts), jnp.asarray(centers),
+        jnp.asarray(valid), selection="any", **kw))
+
+    d2a = np.sum((pts[a] - centers[:, None]) ** 2, -1)
+    d2b = np.sum((pts[b] - centers[:, None]) ** 2, -1)
+    found_a = (d2a[:, 0] <= 0.8 ** 2) & valid[a[:, 0]]
+    found_b = (d2b[:, 0] <= 0.8 ** 2) & valid[b[:, 0]]
+    np.testing.assert_array_equal(found_a, found_b)
+    # all "any" slots of found centers are real in-radius valid points
+    assert np.all((d2b[found_b] <= 0.8 ** 2 + 1e-5))
+    assert valid[b[found_b]].all()
+    # quota parity: a center with k distinct "first" neighbors has >= k
+    # distinct "any" neighbors (both cap at the same in-radius population)
+    ka = np.array([len(set(r)) for r in a[found_a]])
+    kb = np.array([len(set(r)) for r in b[found_b]])
+    np.testing.assert_array_equal(ka, kb)
