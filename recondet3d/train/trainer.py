@@ -87,12 +87,17 @@ class Trainer:
     log_interval: int = 1
     checkpoint_interval: Optional[int] = None  # steps
     hooks: tuple = ()
+    # param subtrees excluded from the optimizer (reference freezes the DA3
+    # backbone); () trains everything — fine-tuning mode, which is also what
+    # routes gradients through the Pallas flash-attention backward
+    frozen_patterns: tuple = ("da3",)
 
     def __post_init__(self):
         self.mesh = self.mesh or make_mesh()
         self.optimizer = build_optimizer(
             lr=self.lr, weight_decay=self.weight_decay,
             total_steps=self.total_steps, grad_clip=self.grad_clip,
+            frozen_patterns=self.frozen_patterns,
         )
         self._step_fn = None
         self._writer = None

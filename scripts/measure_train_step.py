@@ -3,8 +3,14 @@
 (frozen da3-large depth -> unprojection -> pipeline -> refinement) with
 occupancy loss + AdamW-on-trainables, one jitted step.
 
-Usage: python scripts/measure_train_step.py [iters]
-"""
+Usage: python scripts/measure_train_step.py [iters] [--unfrozen]
+
+--unfrozen removes the DA3 freeze (reference fine-tuning mode,
+freeze_da3=False in ResDet3D_nuscenes_mini_config.py) so gradients flow
+through the whole ViT — this is the path that compiles and executes the
+two Pallas flash-attention backward kernels (ops/attention.py dQ and
+dK/dV) on the real chip at production token counts (1297 -> 1408 padded).
+Preset via RECONDET3D_BENCH_PRESET (default da3-large)."""
 
 import os
 import sys
@@ -27,8 +33,13 @@ from recondet3d.train.trainer import Trainer
 
 
 def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    model = bench.build_pipeline(jnp.bfloat16)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    unfrozen = "--unfrozen" in sys.argv[1:]
+    iters = int(args[0]) if args else 5
+    model = bench.build_pipeline(jnp.bfloat16, freeze_da3=not unfrozen)
+    if unfrozen:
+        print("UNFROZEN: gradients through DA3 (Pallas attention backward)",
+              file=sys.stderr)
     rng = np.random.default_rng(0)
     img, c2l = bench.make_inputs(rng)
     gt = rng.uniform(-50, 50, (1, 40000, 3)).astype(np.float32)
@@ -39,7 +50,8 @@ def main():
         gt_points=jnp.asarray(gt),
     )
 
-    trainer = Trainer(model=model, total_steps=1000, mesh=make_mesh())
+    trainer = Trainer(model=model, total_steps=1000, mesh=make_mesh(),
+                      frozen_patterns=() if unfrozen else ("da3",))
     t0 = time.time()
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
     jax.block_until_ready(state.params)
