@@ -71,7 +71,9 @@ def main(argv=None):
             break
         out = fwd(variables, jnp.asarray(batch["img"]),
                   jnp.asarray(batch["cam2lidar_rts"]))
-        dets = model.pts_bbox_head.decode(out["det_preds"])
+        dets = model.pts_bbox_head.decode(
+            out["det_preds"], class_names=dataset.CLASSES
+        )
         results.extend(dets)
         print(f"sample {i}: {len(dets[0]['boxes_3d'])} boxes", flush=True)
     while len(results) < len(dataset):

@@ -239,9 +239,18 @@ class CenterHead(nn.Module):
     # decode
     # ------------------------------------------------------------------
     def decode(self, preds, max_per_task: int = 128, score_threshold: float = 0.1,
-               nms_thresh: float = 0.2):
+               nms_thresh: float = 0.2, class_names=None):
         """Per-task top-K decode -> host-side dict of boxes/scores/labels
-        per batch element (numpy), with rotated NMS."""
+        per batch element (numpy), with rotated NMS.
+
+        Labels are indices into the FLATTENED task order
+        (``task_class_names()``) — the reference's convention, where the
+        head's tasks enumerate every dataset class in order
+        (reference: centerpoint head get_bboxes + nuscenes_dataset.py
+        _format_bbox's ``self.CLASSES[label]``). A head whose tasks cover
+        only a subset (e.g. the CI config's 3 classes) breaks that
+        coincidence, so pass ``class_names`` (the dataset's class list) to
+        remap labels into ITS index space before evaluation."""
         pcr = np.asarray(self.point_cloud_range)
         vs = np.asarray(self.voxel_size)
         fs = self.out_size_factor
@@ -277,6 +286,12 @@ class CenterHead(nn.Module):
             label_base += C
 
         # host-side merge + NMS per sample
+        label_map = None
+        if class_names is not None:
+            label_map = np.array(
+                [list(class_names).index(n) for n in self.task_class_names()],
+                np.int64,
+            )
         results = []
         B = outputs[0][0].shape[0]
         from recondet3d.ops.iou3d import nms_bev
@@ -301,6 +316,8 @@ class CenterHead(nn.Module):
                         nms_bev(jnp.asarray(bev), jnp.asarray(scores), nms_thresh)
                     )
                 boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+            if label_map is not None:
+                labels = label_map[labels.astype(np.int64)]
             results.append(
                 dict(boxes_3d=boxes, scores_3d=scores, labels_3d=labels)
             )

@@ -101,3 +101,44 @@ def test_overfit_and_decode():
     assert len(car) >= 1
     d = np.linalg.norm(car[:, :2] - np.array([2.0, -1.0]), axis=1).min()
     assert d < 1.0
+
+
+def test_decode_label_remap_subset_tasks():
+    """A head whose tasks cover a SUBSET of the dataset classes must remap
+    decode labels into the dataset's index space (class_names arg) —
+    without it, pedestrian (flat-task label 1) scores as the dataset's
+    class 1 ("truck") and its AP is structurally zero. Regression for the
+    full-loop fixture's ped/cone classes."""
+    nusc_classes = (
+        "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
+        "motorcycle", "bicycle", "pedestrian", "traffic_cone",
+    )
+    head = CenterHead(
+        in_channels=16,
+        point_cloud_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 2.0),
+        voxel_size=(0.1, 0.1, 0.1),
+        out_size_factor=8,
+        tasks=(("car",), ("pedestrian", "traffic_cone")),
+        max_objs=8,
+    )
+
+    def fabricate(n_cls, peaks):
+        # logits: one +6 peak per (iy, ix, ci), everything else -6
+        hm = np.full((1, 20, 20, n_cls), -6.0, np.float32)
+        for iy, ix, ci in peaks:
+            hm[0, iy, ix, ci] = 6.0
+        z = lambda c: jnp.zeros((1, 20, 20, c), jnp.float32)
+        return dict(heatmap=jnp.asarray(hm), reg=z(2), height=z(1),
+                    dim=z(3), rot=z(2), vel=z(2))
+
+    preds = [fabricate(1, [(8, 12, 0)]),            # car
+             fabricate(2, [(4, 4, 0), (15, 3, 1)])]  # pedestrian, cone
+
+    res = head.decode(preds, max_per_task=8, score_threshold=0.5,
+                      class_names=nusc_classes)[0]
+    got = sorted(int(l) for l in res["labels_3d"])
+    assert got == [0, 8, 9], got  # car, pedestrian, traffic_cone
+
+    # without class_names: the reference's flat-task convention
+    res_flat = head.decode(preds, max_per_task=8, score_threshold=0.5)[0]
+    assert sorted(int(l) for l in res_flat["labels_3d"]) == [0, 1, 2]
