@@ -63,6 +63,34 @@ class ResDet3D(nn.Module):
             aux["det_preds"] = preds
         return losses, {"pseudo_points": pts, "pseudo_valid": msk, **aux}
 
+    def pipelined_test_step(self, prev_depth, prev_intr, img, cam2lidar_rts):
+        """One software-pipelined inference step over a scene stream: DA3
+        runs on scene t's images while the point pipeline + refinement
+        consume scene t-1's depth (``prev_depth``/``prev_intr``), giving
+        one-scene latency at the pipeline's steady-state cost. Returns
+        ``((depth_t, intr_t), out_{t-1})`` — thread the first element as
+        the next step's carry (prime it with ``predict_depth`` on scene 0).
+
+        The reference runs the equivalent stages serially per scene
+        (reference: projects/mmdet3d_plugin/models/detectors/ResDet3D.py
+        :184-213); this schedule exists so a serving loop (and bench.py's
+        RECONDET3D_BENCH_SCHEDULE=pipelined mode) can expose any
+        cross-stage overlap the compiler can find. Measured v5e numbers
+        for serial vs pipelined live in docs/performance.md.
+        """
+        bk = self.reconstruction_backbone
+        depth, intr, _ = bk.predict_depth(img)
+        pts, msk = bk.points_from_depth(prev_depth, prev_intr, img, cam2lidar_rts)
+        aux: Dict[str, Any] = {}
+        if bk.refinement is not None:
+            pts, _, aux = bk.refinement(
+                pts, msk, return_loss=False, train=False
+            )
+        out = {"pseudo_points": pts, "pseudo_valid": msk, "aux": aux}
+        if self.pts_bbox_head is not None:
+            out["det_preds"] = self.pts_bbox_head(aux["bev_features"], train=False)
+        return (depth, intr), out
+
     def simple_test(self, img, cam2lidar_rts, depth_override=None):
         """Returns per-sample pseudo point clouds (reference:
         ResDet3D.py:184-213 bbox_list[i]['pseudo_points']) and raw head

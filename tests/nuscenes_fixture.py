@@ -43,6 +43,7 @@ def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
 
     tables["category"].append(dict(token="cat-car", name="vehicle.car", description=""))
     tables["category"].append(dict(token="cat-ped", name="human.pedestrian.adult", description=""))
+    tables["category"].append(dict(token="cat-tc", name="movable_object.trafficcone", description=""))
     tables["log"].append(dict(token="log-0", logfile="", vehicle="v", date_captured="", location="x"))
 
     tables["sensor"].append(dict(token="sens-lidar", channel="LIDAR_TOP", modality="lidar"))
@@ -120,14 +121,23 @@ def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
                 ))
                 sample["data"][c] = sdc
 
-            # one car + one pedestrian annotation
-            for ai, (cat, size) in enumerate([("vehicle.car", [2.0, 4.5, 1.6]),
-                                              ("human.pedestrian.adult", [0.6, 0.6, 1.8])]):
+            # annotations: 8 objects / 3 classes when structured (VERDICT
+            # r2 ask #7), one car + one pedestrian otherwise
+            if structured:
+                objs = [(name, list(size)) for _, _, _, _, size, name
+                        in STRUCTURED_BOXES]
+            else:
+                objs = [("vehicle.car", [2.0, 4.5, 1.6]),
+                        ("human.pedestrian.adult", [0.6, 0.6, 1.8])]
+            cat_tok = {"vehicle.car": "cat-car",
+                       "human.pedestrian.adult": "cat-ped",
+                       "movable_object.trafficcone": "cat-tc"}
+            for ai, (cat, size) in enumerate(objs):
                 ann_tok = f"ann-{tok}-{ai}"
                 inst_tok = f"inst-{si}-{ai}"
                 if not any(i["token"] == inst_tok for i in tables["instance"]):
                     tables["instance"].append(dict(
-                        token=inst_tok, category_token=f"cat-{'car' if ai==0 else 'ped'}",
+                        token=inst_tok, category_token=cat_tok[cat],
                         nbr_annotations=samples_per_scene,
                         first_annotation_token="", last_annotation_token="",
                     ))
@@ -136,7 +146,7 @@ def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
                     # pose = ego2global o lidar2ego of that fixed pose, so
                     # the converter's global->lidar chain recovers it
                     # exactly for every sample — memorizable by a head.
-                    cx, cy, cz, yaw, _ = STRUCTURED_BOXES[ai]
+                    cx, cy, cz, yaw, _, _ = STRUCTURED_BOXES[ai]
                     ego_off = np.array([cx + 0.9, cy, cz + 1.8])
                     th = 0.1 * sj
                     R = np.array([[np.cos(th), -np.sin(th), 0],
@@ -170,27 +180,46 @@ def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
     return root
 
 
-# lidar-frame (cx, cy, cz, yaw, size[w,l,h]) of the two structured GT
-# objects; constant across samples (lidar rig is fixed relative to ego)
+# lidar-frame (cx, cy, cz, yaw, size[w,l,h], class) of the 8 structured
+# GT objects (3 classes — VERDICT r2 ask #7); constant across samples
+# (lidar rig is fixed relative to ego). The first two rows keep the
+# round-1 2-object layout.
 STRUCTURED_BOXES = [
-    (3.1, 1.5, -1.3, 0.0, (2.0, 4.5, 1.6)),    # vehicle.car
-    (5.6, 1.5, -1.3, 0.3, (0.6, 0.6, 1.8)),    # human.pedestrian.adult
+    (3.1, 1.5, -1.3, 0.0, (2.0, 4.5, 1.6), "vehicle.car"),
+    (5.6, 1.5, -1.3, 0.3, (0.6, 0.6, 1.8), "human.pedestrian.adult"),
+    (-4.0, 3.0, -1.3, 1.2, (1.9, 4.2, 1.5), "vehicle.car"),
+    (1.0, -5.0, -1.3, -0.7, (2.1, 4.8, 1.7), "vehicle.car"),
+    (-2.5, -3.5, -1.0, 2.0, (0.7, 0.7, 1.7), "human.pedestrian.adult"),
+    (-6.0, -1.0, -1.0, 0.0, (0.6, 0.6, 1.8), "human.pedestrian.adult"),
+    (2.0, 4.5, -1.5, 0.0, (0.4, 0.4, 0.8), "movable_object.trafficcone"),
+    (-1.5, 6.0, -1.5, 0.0, (0.4, 0.4, 0.8), "movable_object.trafficcone"),
 ]
 
 
-def _structured_lidar(rng, sj, n_total: int = 2048):
-    """Lidar-frame points: ground plane at z=-1.8 + dense clusters inside
-    each STRUCTURED_BOXES box (+ per-sample jitter via rng)."""
+def _structured_lidar(rng, sj, n_total: int = 3072):
+    """Lidar-frame points: checkerboard ground patches at z=-1.8 + dense
+    clusters inside each STRUCTURED_BOXES box (+ per-sample jitter via
+    rng).
+
+    The checkerboard (0.8 m cells, 50% coverage) tunes the occupancy
+    class balance to the reference's measured production statistics —
+    ~2,400 occupied of ~32,400 BEV cells per channel (~7.4%, reference:
+    projects/mmdet3d_plugin/models/losses/occupancy_loss.py:15) — instead
+    of a fully-occupied ground channel, so the fixture's loss trajectory
+    is comparable to the reference's logged one
+    (ANALYSIS_OCCUPANCY_TRAINING.md:6-9)."""
     parts = []
-    n_box = 150
-    for cx, cy, cz, yaw, (w, l, h) in STRUCTURED_BOXES:
+    n_box = 100
+    for cx, cy, cz, yaw, (w, l, h), _ in STRUCTURED_BOXES:
         local = rng.uniform(-0.5, 0.5, (n_box, 3)) * np.array([l, w, h])
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
         parts.append(local @ R.T + np.array([cx, cy, cz]))
     n_ground = n_total - sum(len(p) for p in parts)
-    gx = rng.uniform(-8, 8, (n_ground, 2))
-    gz = -1.8 + rng.normal(0, 0.02, (n_ground, 1))
+    gx = rng.uniform(-8, 8, (4 * n_ground, 2))
+    cell = np.floor((gx + 8.0) / 0.8).astype(np.int64)
+    gx = gx[(cell[:, 0] + cell[:, 1]) % 2 == 0][:n_ground]
+    gz = -1.8 + rng.normal(0, 0.02, (len(gx), 1))
     parts.append(np.concatenate([gx, gz], axis=1))
     xyz = np.concatenate(parts).astype(np.float32)
     extra = np.zeros((len(xyz), 2), np.float32)  # intensity, ring

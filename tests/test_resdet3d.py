@@ -341,3 +341,46 @@ def test_depth_override_anchors_point_pipeline():
     np.testing.assert_allclose(z, 3.0, atol=1e-3)
     base_z = np.asarray(base["pseudo_points"])[0][np.asarray(base["pseudo_valid"])[0]][:, 2]
     assert not np.allclose(base_z, 3.0, atol=1e-3)  # random depth differs
+
+
+def test_pipelined_step_matches_simple_test():
+    """pipelined_test_step primed with scene t's own depth must reproduce
+    simple_test exactly (same params, same consumed depth), and must
+    return that depth as the next carry."""
+    da3 = build_da3("da3-small", dtype=jnp.float32, attn_impl="xla")
+    backbone = ReconstructionBackbone(
+        da3=da3,
+        refinement=SparseRefinement(
+            max_voxels=512, occ_max_voxels=1024, stage_caps=(512, 384, 256, 192),
+        ),
+        process_res=56,
+        filter_range=(-30.0, -30.0, -5.0, 30.0, 30.0, 5.0),
+        bq_anchor_points=64, num_points=128,
+    )
+    model = ResDet3D(reconstruction_backbone=backbone)
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 255, (1, 2, 56, 84, 3)).astype(np.float32)
+    c2l = np.broadcast_to(np.eye(4, dtype=np.float32), (1, 2, 4, 4)).copy()
+    img_j, c2l_j = jnp.asarray(img), jnp.asarray(c2l)
+    variables = model.init(jax.random.PRNGKey(0), img_j, c2l_j)
+
+    base = model.apply(variables, img_j, c2l_j)
+    depth, intr, _ = model.apply(
+        variables, img_j,
+        method=lambda m, i: m.reconstruction_backbone.predict_depth(i),
+    )
+    (depth2, intr2), out = model.apply(
+        variables, depth, intr, img_j, c2l_j, method="pipelined_test_step"
+    )
+    np.testing.assert_array_equal(np.asarray(depth2), np.asarray(depth))
+    np.testing.assert_array_equal(np.asarray(intr2), np.asarray(intr))
+    np.testing.assert_array_equal(
+        np.asarray(out["pseudo_points"]), np.asarray(base["pseudo_points"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["pseudo_valid"]), np.asarray(base["pseudo_valid"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["aux"]["occupancy_logits"]),
+        np.asarray(base["aux"]["occupancy_logits"]),
+    )
