@@ -167,9 +167,11 @@ def make_anchor_depth(c2l, ph, pw):
         p_cam = (pts - t) @ R  # inverse of the row-vector transform
         z = p_cam[:, 2]
         ok = z > 0.5
-        u = (fx * p_cam[:, 0] / np.maximum(z, 1e-6) + cx).astype(np.int32)
-        v = (fy * p_cam[:, 1] / np.maximum(z, 1e-6) + cy).astype(np.int32)
-        ok &= (u >= 0) & (u < pw) & (v >= 0) & (v < ph)
+        uf = fx * p_cam[:, 0] / np.maximum(z, 1e-6) + cx
+        vf = fy * p_cam[:, 1] / np.maximum(z, 1e-6) + cy
+        ok &= (uf >= 0) & (uf < pw) & (vf >= 0) & (vf < ph)
+        u = np.where(ok, uf, 0.0).astype(np.int32)
+        v = np.where(ok, vf, 0.0).astype(np.int32)
         flat = np.full(ph * pw, np.inf, np.float32)
         np.minimum.at(flat, v[ok] * pw + u[ok], z[ok])
         d = flat.reshape(ph, pw)

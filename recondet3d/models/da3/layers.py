@@ -157,6 +157,38 @@ def rope_2d(tokens: jnp.ndarray, positions: jnp.ndarray, base_frequency: float =
     )
 
 
+def rope_tables(positions: jnp.ndarray, D: int, base_frequency: float = 100.0):
+    """Precompute the 2D-RoPE (cos, sin) tables for ``rope_2d``-identical
+    rotation: positions (..., N, 2) -> two f32 tables (..., N, D).
+
+    In a ViT where every rope block shares one position grid (the DA3
+    backbone: one local grid, one all-ones global grid), computing the
+    tables once and applying them per block measured ~0.4 ms/block
+    cheaper than the closed-form ``rope_2d`` at nested-giant global
+    shapes (scripts/bench_qk_prep.py) — the transcendentals and their
+    awkward (…, D=64)-minor layouts leave the per-block path."""
+    d = D // 2
+    exponents = jnp.arange(0, d, 2, dtype=jnp.float32) / d
+    inv_freq = 1.0 / (base_frequency ** exponents)  # (D/4,)
+    ang_y = positions[..., 0:1].astype(jnp.float32) * inv_freq
+    ang_x = positions[..., 1:2].astype(jnp.float32) * inv_freq
+    ang = jnp.concatenate([ang_y, ang_y, ang_x, ang_x], axis=-1)  # (..., D)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope_tables(tokens: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray):
+    """Apply precomputed ``rope_tables`` to (B, H, N, D) tokens; exact
+    match of ``rope_2d`` (asserted on-chip in scripts/bench_qk_prep.py
+    and in test_attention.py)."""
+    shape = tokens.shape
+    D = shape[-1]
+    t = tokens.reshape(*shape[:-1], 2, 2, D // 4)
+    rot = jnp.stack([-t[..., 1, :], t[..., 0, :]], axis=-2).reshape(shape)
+    cos = cos.astype(tokens.dtype)
+    sin = sin.astype(tokens.dtype)
+    return tokens * cos + rot * sin
+
+
 class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
@@ -168,7 +200,7 @@ class Attention(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, pos=None, kv_len=None):
+    def __call__(self, x, pos=None, kv_len=None, rope_tabs=None):
         B, N, C = x.shape
         H = self.num_heads
         D = C // H
@@ -179,7 +211,13 @@ class Attention(nn.Module):
             # reference: norm_layer(head_dim) with default eps 1e-5
             q = LayerNormFp32(epsilon=1e-5, name="q_norm")(q)
             k = LayerNormFp32(epsilon=1e-5, name="k_norm")(k)
-        if self.use_rope and pos is not None:
+        if self.use_rope and rope_tabs is not None:
+            # precomputed shared tables (rope_2d-identical, cheaper per
+            # block — see rope_tables)
+            cos, sin = rope_tabs
+            q = apply_rope_tables(q, cos, sin)
+            k = apply_rope_tables(k, cos, sin)
+        elif self.use_rope and pos is not None:
             q = rope_2d(q, pos, self.rope_freq)
             k = rope_2d(k, pos, self.rope_freq)
         o = flash_attention(q, k, v, kv_len=kv_len, impl=self.attn_impl)
@@ -205,7 +243,7 @@ class Block(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, pos=None, kv_len=None):
+    def __call__(self, x, pos=None, kv_len=None, rope_tabs=None):
         C = x.shape[-1]
         h = Attention(
             num_heads=self.num_heads,
@@ -217,7 +255,8 @@ class Block(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             name="attn",
-        )(LayerNormFp32(epsilon=self.ln_eps, name="norm1")(x), pos=pos, kv_len=kv_len)
+        )(LayerNormFp32(epsilon=self.ln_eps, name="norm1")(x), pos=pos,
+          kv_len=kv_len, rope_tabs=rope_tabs)
         if self.init_values is not None:
             h = LayerScale(self.init_values, name="ls1")(h)
         x = x + h

@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from recondet3d.models.da3.layers import Block, LayerNormFp32, PatchEmbed
+from recondet3d.models.da3.layers import Block, LayerNormFp32, PatchEmbed, rope_tables
 from recondet3d.utils.constants import THRESH_FOR_REF_SELECTION
 from recondet3d.utils.interpolation import resize_2d
 
@@ -223,12 +223,21 @@ class DinoViT(nn.Module):
             special = jnp.zeros((1, 2), jnp.int32)
             l_pos1 = jnp.concatenate([special, patch_pos + 1], axis=0)  # (N, 2)
             g_pos1 = jnp.concatenate([special, jnp.ones_like(patch_pos)], axis=0)
-            l_pos = jnp.broadcast_to(l_pos1[None], (B * S, n_patches + 1, 2))
-            g_pos_g = jnp.broadcast_to(
-                g_pos1[None, None], (B, S, n_patches + 1, 2)
-            ).reshape(B, S * (n_patches + 1), 2)
+            # every rope block shares one local and one global position
+            # grid, so the (cos, sin) tables are computed ONCE here and
+            # applied per block — measured ~0.4 ms/block cheaper than the
+            # closed-form rope_2d at giant global shapes (bench_qk_prep)
+            D = self.embed_dim // self.num_heads
+            l_tabs = tuple(
+                t[None, None] for t in rope_tables(l_pos1, D, self.rope_freq)
+            )  # (1, 1, N, D) — broadcast over (B*S, heads)
+            g1 = tuple(rope_tables(g_pos1, D, self.rope_freq))
+            g_tabs = tuple(
+                jnp.tile(t[None], (S, 1, 1)).reshape(1, 1, S * (n_patches + 1), D)
+                for t in g1
+            )
         else:
-            l_pos = g_pos_g = None
+            l_tabs = g_tabs = None
 
         do_reorder = self.alt_start != -1 and S >= THRESH_FOR_REF_SELECTION
         b_idx = None
@@ -254,11 +263,11 @@ class DinoViT(nn.Module):
             rope_on = use_rope and i >= self.rope_start
             if self.alt_start != -1 and i >= self.alt_start and i % 2 == 1:
                 g = xt.reshape(B, S * (n_patches + 1), self.embed_dim)
-                g = blk(g, pos=g_pos_g if rope_on else None)
+                g = blk(g, rope_tabs=g_tabs if rope_on else None)
                 xt = g.reshape(B, S, n_patches + 1, self.embed_dim)
             else:
                 l = xt.reshape(B * S, n_patches + 1, self.embed_dim)
-                l = blk(l, pos=l_pos if rope_on else None)
+                l = blk(l, rope_tabs=l_tabs if rope_on else None)
                 xt = l.reshape(B, S, n_patches + 1, self.embed_dim)
                 local_x = xt
 

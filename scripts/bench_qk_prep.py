@@ -58,11 +58,14 @@ def main():
 
     def run(tag, B, N):
         x = jax.random.normal(k3, (B, N, C), jnp.bfloat16)
-        pos = jnp.tile(
-            jnp.stack(jnp.meshgrid(jnp.arange(37.0), jnp.arange(37.0),
-                                   indexing="ij"), -1).reshape(1, -1, 2)[:, :N],
-            (B, 1, 1),
-        )
+        grid2 = jnp.stack(
+            jnp.meshgrid(jnp.arange(37.0), jnp.arange(37.0), indexing="ij"),
+            -1,
+        ).reshape(-1, 2)[:N_LOCAL]  # (727, 2) per-view positions
+        pos = jnp.tile(grid2[None], (S, 1, 1))  # (S, 727, 2)
+        if B == 1:  # global layout: views concatenated on the token axis
+            pos = pos.reshape(1, S * N_LOCAL, 2)
+        assert pos.shape == (B, N, 2)
         # precomputed rope tables (f32), the 'shared across blocks' form
         dd = D // 2
         expo = jnp.arange(0, dd, 2, dtype=jnp.float32) / dd

@@ -90,3 +90,22 @@ def test_flash_grad_kv_len_and_padding():
     # masked-out KV rows get exactly zero grad
     dk, dv = np.asarray(g1[1]), np.asarray(g1[2])
     assert np.all(dk[0, :, 150:] == 0) and np.all(dv[0, :, 150:] == 0)
+
+
+def test_rope_tables_match_rope_2d():
+    """Precomputed-table rope (the per-block fast path in the ViT) is
+    bit-for-bit the same math as the closed-form rope_2d."""
+    import numpy as np
+
+    from recondet3d.models.da3.layers import (
+        apply_rope_tables, rope_2d, rope_tables,
+    )
+
+    rng = jax.random.PRNGKey(3)
+    B, H, N, D = 2, 4, 57, 64
+    t = jax.random.normal(rng, (B, H, N, D), jnp.float32)
+    pos = jax.random.randint(jax.random.PRNGKey(4), (B, N, 2), 0, 37)
+    ref = rope_2d(t, pos, 100.0)
+    cos, sin = rope_tables(pos, D, 100.0)  # (B, N, D)
+    got = apply_rope_tables(t, cos[:, None], sin[:, None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
