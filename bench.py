@@ -74,7 +74,9 @@ def build_pipeline(dtype, preset=None, freeze_da3=True):
     from recondet3d.models.detect import ReconstructionBackbone, ResDet3D
     from recondet3d.models.refine import SparseRefinement
 
-    da3 = build_da3(preset or PRESET, dtype=dtype)
+    # unfrozen (fine-tuning) steps keep gradients through the ViT trunk;
+    # remat the blocks or the live activations exceed v5e HBM
+    da3 = build_da3(preset or PRESET, dtype=dtype, remat=not freeze_da3)
     refinement = SparseRefinement(
         max_voxels=40960,
         occ_max_voxels=65536,

@@ -51,7 +51,8 @@ def build_model_from_cfg(cfg):
     # stay f32 either way); configs default to bf16 — the production TPU
     # setting every shipped number was measured with
     dtype = getattr(jnp, str(cfg.get("compute_dtype", "bfloat16")))
-    da3 = build_da3(rb.get("pretrained", "da3-large"), dtype=dtype)
+    da3 = build_da3(rb.get("pretrained", "da3-large"), dtype=dtype,
+                    remat=not rb.get("freeze_da3", True))
     ref_cfg = dict(rb.get("refinement", {}) or {})
     ref_cfg.pop("type", None)
     ref_kwargs = {}

@@ -19,7 +19,7 @@ __all__ = ["build_da3", "PRESETS", "MODEL_REGISTRY"]
 
 
 def _anyview(vit_name, out_layers, alt_start, head_dim_in, features, out_channels,
-             cam_dim, dtype, attn_impl, with_gs=False):
+             cam_dim, dtype, attn_impl, with_gs=False, remat=False):
     net = DinoViT(
         name_preset=vit_name,
         out_layers=tuple(out_layers),
@@ -29,6 +29,7 @@ def _anyview(vit_name, out_layers, alt_start, head_dim_in, features, out_channel
         cat_token=True,
         dtype=dtype,
         attn_impl=attn_impl,
+        remat=remat,
     )
     head = DualDPT(
         dim_in=head_dim_in,
@@ -60,7 +61,7 @@ def _anyview(vit_name, out_layers, alt_start, head_dim_in, features, out_channel
     return DepthAnything3Net(**kwargs)
 
 
-def _monocular(dtype, attn_impl):
+def _monocular(dtype, attn_impl, remat=False):
     # da3metric-large / da3mono-large: plain ViT-L + DPT(1ch) + sky head
     net = DinoViT(
         name_preset="vitl",
@@ -71,6 +72,7 @@ def _monocular(dtype, attn_impl):
         cat_token=False,
         dtype=dtype,
         attn_impl=attn_impl,
+        remat=remat,
     )
     head = DPT(dim_in=1024, output_dim=1, features=256, out_channels=(256, 512, 1024, 1024))
     return DepthAnything3Net(net=net, head=head)
@@ -98,23 +100,24 @@ MODEL_REGISTRY = [
 
 
 def build_da3(name: str, dtype=jnp.bfloat16, attn_impl: str = "auto",
-              with_gs: Optional[bool] = None):
+              with_gs: Optional[bool] = None, remat: bool = False):
     """Build an unbound DA3 model for a preset name (HF-hub naming also
     accepted, e.g. 'depth-anything/DA3NESTED-GIANT-LARGE')."""
     key = name.split("/")[-1].lower()
     if key in ("da3metric-large", "da3mono-large"):
-        return _monocular(dtype, attn_impl)
+        return _monocular(dtype, attn_impl, remat=remat)
     if key == "da3nested-giant-large":
         cfg = dict(PRESETS["da3-giant"])
         preset_gs = cfg.pop("with_gs", False)
         use_gs = preset_gs if with_gs is None else with_gs
         anyview = _anyview(cfg.pop("vit"), dtype=dtype, attn_impl=attn_impl,
-                           with_gs=use_gs, **cfg)
-        return NestedDepthAnything3Net(anyview=anyview, metric=_monocular(dtype, attn_impl))
+                           with_gs=use_gs, remat=remat, **cfg)
+        return NestedDepthAnything3Net(
+            anyview=anyview, metric=_monocular(dtype, attn_impl, remat=remat))
     if key in PRESETS:
         cfg = dict(PRESETS[key])
         preset_gs = cfg.pop("with_gs", False)
         use_gs = preset_gs if with_gs is None else with_gs
         return _anyview(cfg.pop("vit"), dtype=dtype, attn_impl=attn_impl,
-                        with_gs=use_gs, **cfg)
+                        with_gs=use_gs, remat=remat, **cfg)
     raise KeyError(f"unknown DA3 preset {name!r}; known: {MODEL_REGISTRY}")

@@ -132,6 +132,7 @@ class DinoViT(nn.Module):
     interpolate_offset: float = 0.1
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    remat: bool = False
 
     def setup(self):
         p = VIT_PRESETS[self.name_preset]
@@ -139,6 +140,12 @@ class DinoViT(nn.Module):
         self.depth = p["depth"]
         self.num_heads = p["num_heads"]
         ffn = "swiglufused" if self.name_preset == "vitg" else "mlp"
+        # Fine-tuning memory: with gradients flowing through the trunk the
+        # per-block activations (~10 tensors x B*S*N*C) exceed v5e HBM at
+        # production shapes; block-granular rematerialization trades one
+        # extra forward for O(depth) -> O(1) live activations. The lifted
+        # transform preserves the "blocks_i" param layout.
+        block_cls = nn.remat(Block, prevent_cse=False) if self.remat else Block
 
         self.patch_embed = PatchEmbed(
             patch_size=self.patch_size, embed_dim=self.embed_dim, dtype=self.dtype
@@ -155,7 +162,7 @@ class DinoViT(nn.Module):
             "pos_embed", nn.initializers.zeros, (1, num_patches + 1, self.embed_dim), jnp.float32
         )
         self.blocks = [
-            Block(
+            block_cls(
                 num_heads=self.num_heads,
                 mlp_ratio=4.0,
                 init_values=1.0,

@@ -54,8 +54,14 @@ def attention_xla(q, k, v, kv_len=None, scale=None):
 def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
                   block_k, kv_blocks):
     """One (batch*head, q_block) program: online softmax over KV blocks.
-    Also emits the per-row logsumexp (softmax stats for the backward)."""
-    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
+    Also emits the per-row logsumexp (softmax stats for the backward).
+
+    The QK^T and PV dots keep their operands in the INPUT dtype (bf16 in
+    production) with fp32 accumulation: the v5e MXU runs bf16 x bf16 ->
+    f32 at full rate but decomposes f32 x f32 into multiple passes, so
+    casting the operands up costs ~4x MXU throughput. Softmax stats
+    (m, l, lse) and the accumulator stay fp32."""
+    q = q_ref[0]  # (BQ, D), input dtype
     bq, d = q.shape
     kv_len = kvlen_ref[pl.program_id(0)]
 
@@ -65,11 +71,11 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
 
     def body(kb, carry):
         acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
+        ) * scale  # (BQ, BK) fp32
         col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
         s = jnp.where(col < kv_len, s, _NEG_INF)
 
@@ -77,7 +83,9 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        acc_new = acc * alpha + jnp.dot(
+            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32
+        )
         return acc_new, m_new, l_new
 
     acc, m, l = jax.lax.fori_loop(0, kv_blocks, body, (acc0, m0, l0))
@@ -146,17 +154,20 @@ _STAT_LANES = 8  # lse/delta are broadcast to 8 lanes so kernels read
 
 def _flash_bwd_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                          delta_ref, dq_ref, *, scale, block_k, kv_blocks):
-    """One (batch*head, q_block) program: dQ = (P * (dO V^T - delta)) K."""
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    """One (batch*head, q_block) program: dQ = (P * (dO V^T - delta)) K.
+
+    Dots keep operands in the input dtype (full-rate bf16 MXU, see the
+    forward kernel); softmax/delta algebra stays fp32."""
+    q = q_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0][:, :1]      # (BQ, 1)
     delta = delta_ref[0][:, :1]  # (BQ, 1)
     kv_len = kvlen_ref[pl.program_id(0)]
     bq, d = q.shape
 
     def body(kb, acc):
-        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -165,7 +176,7 @@ def _flash_bwd_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k_blk.dtype)
         return acc + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
 
     acc = jax.lax.fori_loop(0, kv_blocks, body, jnp.zeros((bq, d), jnp.float32))
@@ -175,9 +186,12 @@ def _flash_bwd_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                           delta_ref, dk_ref, dv_ref, *, scale, block_q,
                           q_blocks):
-    """One (batch*head, kv_block) program: dV = P^T dO, dK = dS^T Q."""
-    k = k_ref[0].astype(jnp.float32)  # (BK, D)
-    v = v_ref[0].astype(jnp.float32)
+    """One (batch*head, kv_block) program: dV = P^T dO, dK = dS^T Q.
+
+    Dots keep operands in the input dtype (full-rate bf16 MXU, see the
+    forward kernel); softmax/delta algebra stays fp32."""
+    k = k_ref[0]  # (BK, D)
+    v = v_ref[0]
     kv_len = kvlen_ref[pl.program_id(0)]
     bk, d = k.shape
     base = pl.program_id(1) * bk
@@ -185,8 +199,8 @@ def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     def body(qb, carry):
         dk_acc, dv_acc = carry
         sl = pl.ds(qb * block_q, block_q)
-        q_blk = q_ref[0, sl, :].astype(jnp.float32)
-        do_blk = do_ref[0, sl, :].astype(jnp.float32)
+        q_blk = q_ref[0, sl, :]
+        do_blk = do_ref[0, sl, :]
         lse_blk = lse_ref[0, sl, :1]
         delta_blk = delta_ref[0, sl, :1]
         s = jax.lax.dot_general(
@@ -195,12 +209,13 @@ def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         col = base + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
         p = jnp.where(col < kv_len, jnp.exp(s - lse_blk), 0.0)
         dv_acc = dv_acc + jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do_blk, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = p * (dp - delta_blk)
+        ds = (p * (dp - delta_blk)).astype(q_blk.dtype)
         dk_acc = dk_acc + jax.lax.dot_general(
             ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )

@@ -10,7 +10,15 @@ freeze_da3=False in ResDet3D_nuscenes_mini_config.py) so gradients flow
 through the whole ViT — this is the path that compiles and executes the
 two Pallas flash-attention backward kernels (ops/attention.py dQ and
 dK/dV) on the real chip at production token counts (1297 -> 1408 padded).
-Preset via RECONDET3D_BENCH_PRESET (default da3-large)."""
+The trunk blocks are rematerialized when unfrozen (build_pipeline sets
+remat) or the live activations exceed v5e HBM.
+
+Preset via RECONDET3D_BENCH_PRESET (default = bench.PRESET,
+da3nested-giant-large). NOTE: the nested-giant preset cannot fine-tune
+on ONE v5e — params+AdamW state alone are 1656M*4B*3 = 19.9 GB > 16 GB
+HBM; that configuration is inherently multichip (scripts/
+flagship_multichip.py shards it). Use RECONDET3D_BENCH_PRESET=da3-large
+for the single-chip unfrozen measurement."""
 
 import os
 import sys
