@@ -75,8 +75,13 @@ def build_pipeline(dtype, preset=None, freeze_da3=True):
     from recondet3d.models.refine import SparseRefinement
 
     # unfrozen (fine-tuning) steps keep gradients through the ViT trunk;
-    # remat the blocks or the live activations exceed v5e HBM
-    da3 = build_da3(preset or PRESET, dtype=dtype, remat=not freeze_da3)
+    # remat the blocks or the live activations exceed v5e HBM.
+    # RECONDET3D_REMAT_POLICY: 'block' (min memory) | 'dots' (save GEMM
+    # outputs, recompute only elementwise glue)
+    da3 = build_da3(
+        preset or PRESET, dtype=dtype, remat=not freeze_da3,
+        remat_policy=os.environ.get("RECONDET3D_REMAT_POLICY", "block"),
+    )
     refinement = SparseRefinement(
         max_voxels=40960,
         occ_max_voxels=65536,
@@ -284,14 +289,17 @@ def measure(preset, backend, iters, schedule=SCHEDULE, composition=COMPOSITION):
         # scene stream: step t issues DA3 on scene t (img + eps_t) and the
         # point pipeline on scene t-1's carried depth; when anchored, the
         # consumed depth is the anchor field denormal-coupled to the carry
-        # so the DA3 forward stays load-bearing inside the loop.
+        # so the DA3 forward stays load-bearing inside the loop. The bench
+        # replays ONE scene, so prev_img == img (a real serving loop would
+        # carry scene t-1's images alongside its depth).
         def body(carry, _):
             eps, depth, intr, _, _ = carry
             consumed = depth if anchor_d is None else (
-                anchor_d + depth * jnp.float32(1e-38)
+                # gated coupling: anchor holes (0 = invalid) stay exactly 0
+                anchor_d + jnp.where(anchor_d > 0, depth * jnp.float32(1e-38), 0.0)
             )
             (d2, n2), out = model.apply(
-                v, consumed, intr, i + eps.astype(i.dtype), c,
+                v, consumed, intr, i, i + eps.astype(i.dtype), c,
                 method="pipelined_test_step",
             )
             s0, s1 = _scalars(out)
@@ -353,7 +361,8 @@ def measure(preset, backend, iters, schedule=SCHEDULE, composition=COMPOSITION):
               f"min {dt*1e3:.0f} ms per step", file=sys.stderr)
 
     res = dict(
-        fps=N_CAMS / dt, ms_per_step=dt * 1e3, flops=flops,
+        fps=N_CAMS / dt, ms_per_step=dt * 1e3, ms_mean=mean_dt * 1e3,
+        flops=flops,
         composition="anchored" if anchor_arg is not None else "raw",
         schedule=schedule,
     )
@@ -417,9 +426,20 @@ def main():
         print(measure(PRESET, "cpu", iters=1, composition=comp)["fps"])
         return
 
-    def vs(preset, fps):
+    def vs(preset, fps, res):
         b = baselines.get(preset)
-        return round(fps / (5.0 * b["cpu_fps"]), 3) if b else None
+        if not b:
+            return None
+        # a baseline measured under a different composition/schedule (or a
+        # legacy record that never stamped them) is not comparable
+        for key in ("composition", "schedule"):
+            if b.get(key) != res.get(key):
+                print(f"[bench:{preset}] baseline {key}={b.get(key)!r} != "
+                      f"run {key}={res.get(key)!r} -> vs_baseline=None "
+                      f"(re-measure with RECONDET3D_BENCH_CPU=1)",
+                      file=sys.stderr)
+                return None
+        return round(fps / (5.0 * b["cpu_fps"]), 3)
 
     def mfu_of(res):
         if not res.get("flops"):
@@ -447,8 +467,10 @@ def main():
     extra = {
         p: {
             "fps": round(r["fps"], 3),
-            "vs_baseline": vs(p, r["fps"]),
+            "vs_baseline": vs(p, r["fps"], r),
             "mfu_pct": None if not mfu_of(r) else round(mfu_of(r), 2),
+            "ms_min": round(r["ms_per_step"], 1),
+            "ms_mean": round(r["ms_mean"], 1),
         }
         for p, r in results.items() if p != PRESET
     }
@@ -461,8 +483,12 @@ def main():
         ),
         "value": round(head["fps"], 3),
         "unit": "frames/s/chip",
-        "vs_baseline": vs(PRESET, head["fps"]),
+        "vs_baseline": vs(PRESET, head["fps"], head),
         "mfu_pct": None if mfu is None else round(mfu, 2),
+        # min is the throughput statistic (tunnel-shared chip shows heavy
+        # run-to-run interference); mean >> min flags an interfered run
+        "ms_min": round(head["ms_per_step"], 1),
+        "ms_mean": round(head["ms_mean"], 1),
     }
     if "raw_fps" in head:
         rec["raw_fps"] = round(head["raw_fps"], 3)

@@ -19,7 +19,8 @@ __all__ = ["build_da3", "PRESETS", "MODEL_REGISTRY"]
 
 
 def _anyview(vit_name, out_layers, alt_start, head_dim_in, features, out_channels,
-             cam_dim, dtype, attn_impl, with_gs=False, remat=False):
+             cam_dim, dtype, attn_impl, with_gs=False, remat=False,
+             remat_policy="block"):
     net = DinoViT(
         name_preset=vit_name,
         out_layers=tuple(out_layers),
@@ -30,6 +31,7 @@ def _anyview(vit_name, out_layers, alt_start, head_dim_in, features, out_channel
         dtype=dtype,
         attn_impl=attn_impl,
         remat=remat,
+        remat_policy=remat_policy,
     )
     head = DualDPT(
         dim_in=head_dim_in,
@@ -61,7 +63,7 @@ def _anyview(vit_name, out_layers, alt_start, head_dim_in, features, out_channel
     return DepthAnything3Net(**kwargs)
 
 
-def _monocular(dtype, attn_impl, remat=False):
+def _monocular(dtype, attn_impl, remat=False, remat_policy="block"):
     # da3metric-large / da3mono-large: plain ViT-L + DPT(1ch) + sky head
     net = DinoViT(
         name_preset="vitl",
@@ -73,6 +75,7 @@ def _monocular(dtype, attn_impl, remat=False):
         dtype=dtype,
         attn_impl=attn_impl,
         remat=remat,
+        remat_policy=remat_policy,
     )
     head = DPT(dim_in=1024, output_dim=1, features=256, out_channels=(256, 512, 1024, 1024))
     return DepthAnything3Net(net=net, head=head)
@@ -100,24 +103,29 @@ MODEL_REGISTRY = [
 
 
 def build_da3(name: str, dtype=jnp.bfloat16, attn_impl: str = "auto",
-              with_gs: Optional[bool] = None, remat: bool = False):
+              with_gs: Optional[bool] = None, remat: bool = False,
+              remat_policy: str = "block"):
     """Build an unbound DA3 model for a preset name (HF-hub naming also
     accepted, e.g. 'depth-anything/DA3NESTED-GIANT-LARGE')."""
     key = name.split("/")[-1].lower()
     if key in ("da3metric-large", "da3mono-large"):
-        return _monocular(dtype, attn_impl, remat=remat)
+        return _monocular(dtype, attn_impl, remat=remat, remat_policy=remat_policy)
     if key == "da3nested-giant-large":
         cfg = dict(PRESETS["da3-giant"])
         preset_gs = cfg.pop("with_gs", False)
         use_gs = preset_gs if with_gs is None else with_gs
         anyview = _anyview(cfg.pop("vit"), dtype=dtype, attn_impl=attn_impl,
-                           with_gs=use_gs, remat=remat, **cfg)
+                           with_gs=use_gs, remat=remat,
+                           remat_policy=remat_policy, **cfg)
         return NestedDepthAnything3Net(
-            anyview=anyview, metric=_monocular(dtype, attn_impl, remat=remat))
+            anyview=anyview,
+            metric=_monocular(dtype, attn_impl, remat=remat,
+                              remat_policy=remat_policy))
     if key in PRESETS:
         cfg = dict(PRESETS[key])
         preset_gs = cfg.pop("with_gs", False)
         use_gs = preset_gs if with_gs is None else with_gs
         return _anyview(cfg.pop("vit"), dtype=dtype, attn_impl=attn_impl,
-                        with_gs=use_gs, remat=remat, **cfg)
+                        with_gs=use_gs, remat=remat,
+                        remat_policy=remat_policy, **cfg)
     raise KeyError(f"unknown DA3 preset {name!r}; known: {MODEL_REGISTRY}")

@@ -133,6 +133,12 @@ class DinoViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    # 'block' recomputes everything inside each block on the backward
+    # (minimum memory); 'dots' saves every GEMM output and recomputes only
+    # the cheap elementwise/norm glue (jax.checkpoint_policies
+    # .dots_with_no_batch_dims_saveable) — more live memory, less
+    # recompute. Swept on-chip by scripts/measure_train_step.py.
+    remat_policy: str = "block"
 
     def setup(self):
         p = VIT_PRESETS[self.name_preset]
@@ -145,7 +151,14 @@ class DinoViT(nn.Module):
         # production shapes; block-granular rematerialization trades one
         # extra forward for O(depth) -> O(1) live activations. The lifted
         # transform preserves the "blocks_i" param layout.
-        block_cls = nn.remat(Block, prevent_cse=False) if self.remat else Block
+        if self.remat:
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if self.remat_policy == "dots" else None
+            )
+            block_cls = nn.remat(Block, prevent_cse=False, policy=policy)
+        else:
+            block_cls = Block
 
         self.patch_embed = PatchEmbed(
             patch_size=self.patch_size, embed_dim=self.embed_dim, dtype=self.dtype

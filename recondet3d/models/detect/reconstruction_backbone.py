@@ -162,8 +162,14 @@ class ReconstructionBackbone(nn.Module):
         depth, intr, da3_out = self.predict_depth(img)
         if depth_override is not None:
             # denormal coupling keeps the depth head from being DCE'd so
-            # the benched DA3 cost stays the true full-forward cost
-            depth = depth_override.astype(jnp.float32) + depth * jnp.float32(1e-38)
+            # the benched DA3 cost stays the true full-forward cost; the
+            # coupling term is gated so override holes (depth_override == 0
+            # = "no point", masked by the pipeline's depth > 0 check) stay
+            # exactly zero instead of becoming denormal-positive
+            override = depth_override.astype(jnp.float32)
+            depth = override + jnp.where(
+                override > 0, depth * jnp.float32(1e-38), 0.0
+            )
         pts, msk = self.points_from_depth(depth, intr, img, cam2lidar_rts)
         return pts, msk, da3_out
 

@@ -63,13 +63,16 @@ class ResDet3D(nn.Module):
             aux["det_preds"] = preds
         return losses, {"pseudo_points": pts, "pseudo_valid": msk, **aux}
 
-    def pipelined_test_step(self, prev_depth, prev_intr, img, cam2lidar_rts):
+    def pipelined_test_step(self, prev_depth, prev_intr, prev_img, img,
+                            cam2lidar_rts):
         """One software-pipelined inference step over a scene stream: DA3
         runs on scene t's images while the point pipeline + refinement
-        consume scene t-1's depth (``prev_depth``/``prev_intr``), giving
-        one-scene latency at the pipeline's steady-state cost. Returns
-        ``((depth_t, intr_t), out_{t-1})`` — thread the first element as
-        the next step's carry (prime it with ``predict_depth`` on scene 0).
+        consume scene t-1's depth (``prev_depth``/``prev_intr``) and
+        images (``prev_img`` — point colorization must sample the frame
+        the depth came from), giving one-scene latency at the pipeline's
+        steady-state cost. Returns ``((depth_t, intr_t), out_{t-1})`` —
+        thread the first element (plus scene t's img) as the next step's
+        carry (prime it with ``predict_depth`` on scene 0).
 
         The reference runs the equivalent stages serially per scene
         (reference: projects/mmdet3d_plugin/models/detectors/ResDet3D.py
@@ -80,7 +83,8 @@ class ResDet3D(nn.Module):
         """
         bk = self.reconstruction_backbone
         depth, intr, _ = bk.predict_depth(img)
-        pts, msk = bk.points_from_depth(prev_depth, prev_intr, img, cam2lidar_rts)
+        pts, msk = bk.points_from_depth(prev_depth, prev_intr, prev_img,
+                                        cam2lidar_rts)
         aux: Dict[str, Any] = {}
         if bk.refinement is not None:
             pts, _, aux = bk.refinement(

@@ -302,26 +302,48 @@ def _flash_attention_bwd_impl(q, k, v, kv_len, out, lse, g, scale, block_q,
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention(q, k, v, kv_len, scale, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_attention(q, k, v, kv_len, scale, block_q, block_k, interpret,
+                     block_q_bwd, block_k_bwd):
     out, _ = _flash_attention_fwd_impl(q, k, v, kv_len, scale, block_q, block_k, interpret)
     return out
 
 
-def _fwd(q, k, v, kv_len, scale, block_q, block_k, interpret):
+def _fwd(q, k, v, kv_len, scale, block_q, block_k, interpret,
+         block_q_bwd, block_k_bwd):
     out, lse = _flash_attention_fwd_impl(q, k, v, kv_len, scale, block_q, block_k, interpret)
     return out, (q, k, v, kv_len, out, lse)
 
 
-def _bwd(scale, block_q, block_k, interpret, res, g):
+def _bwd(scale, block_q, block_k, interpret, block_q_bwd, block_k_bwd, res, g):
     q, k, v, kv_len, out, lse = res
     dq, dk, dv = _flash_attention_bwd_impl(
-        q, k, v, kv_len, out, lse, g, scale, block_q, block_k, interpret
+        q, k, v, kv_len, out, lse, g, scale, block_q_bwd, block_k_bwd,
+        interpret
     )
     return dq, dk, dv, None
 
 
 _flash_attention.defvjp(_fwd, _bwd)
+
+
+# single-KV-iteration VMEM ceiling: the fp32 (block_q, Mp) logits tile at
+# bq=256, Mp=8192 is 8 MB — beyond that fall back to a looped block_k
+_FULL_KV_MAX = 8192
+
+
+def _auto_blocks(n_q: int, n_kv: int):
+    """Shape-adaptive (block_q, block_k), measured on v5e at the DA3
+    production shapes (scripts/bench_flash_blocks.py): bq=256 minimizes
+    the query padding tax (721 -> 768 instead of the 512-default's 1024,
+    i.e. 1.13x instead of 2x attention work), and a single KV iteration
+    (block_k = the whole padded KV) removes the online-softmax loop
+    bookkeeping — together 1.4-1.7x over the old 512/512 default at both
+    the local (N=721) and global (N=4326) nested-giant shapes."""
+    bq = 256
+    mp = max(128, -(-n_kv // 128) * 128)
+    bk = mp if mp <= _FULL_KV_MAX else 1024
+    return bq, bk
 
 
 def flash_attention(
@@ -330,13 +352,20 @@ def flash_attention(
     v: jnp.ndarray,
     kv_len: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     impl: str = "auto",
+    block_q_bwd: Optional[int] = None,
+    block_k_bwd: Optional[int] = None,
 ) -> jnp.ndarray:
     """Flash attention over (B, H, N, D) tensors.
 
     impl: 'pallas' | 'xla' | 'auto' (pallas on TPU, xla elsewhere).
+    block_q/block_k default to the measured shape-adaptive choice
+    (``_auto_blocks``); block_q_bwd/block_k_bwd control the backward
+    kernels separately (default 512/512 — wide KV tiles that help the
+    forward's single pass are not obviously right for the dK/dV kernel's
+    per-KV-block grid).
     """
     d = q.shape[-1]
     scale = d ** -0.5 if scale is None else scale
@@ -345,9 +374,17 @@ def flash_attention(
     if impl == "xla":
         return attention_xla(q, k, v, kv_len=kv_len, scale=scale)
     interpret = impl == "interpret" or jax.default_backend() != "tpu"
+    auto_q, auto_k = _auto_blocks(q.shape[2], k.shape[2])
+    block_q = auto_q if block_q is None else block_q
+    block_k = auto_k if block_k is None else block_k
     bq = min(block_q, max(128, 1 << (q.shape[2] - 1).bit_length())) if q.shape[2] < block_q else block_q
     bk = min(block_k, max(128, 1 << (k.shape[2] - 1).bit_length())) if k.shape[2] < block_k else block_k
-    return _flash_attention(q, k, v, kv_len, scale, bq, bk, interpret)
+    bq_b = 512 if block_q_bwd is None else block_q_bwd
+    bk_b = 512 if block_k_bwd is None else block_k_bwd
+    bq_b = min(bq_b, max(128, 1 << (q.shape[2] - 1).bit_length())) if q.shape[2] < bq_b else bq_b
+    bk_b = min(bk_b, max(128, 1 << (k.shape[2] - 1).bit_length())) if k.shape[2] < bk_b else bk_b
+    return _flash_attention(q, k, v, kv_len, scale, bq, bk, interpret,
+                            bq_b, bk_b)
 
 
 def multi_head_attention(x, qkv_w, qkv_b, proj_w, proj_b, num_heads, **kwargs):

@@ -95,6 +95,23 @@ def main():
           f"block={best[0][2]} at {best[1]:.1f} ms (identical={best[2]})",
           flush=True)
 
+    # selection='first' (exact CUDA tie-break) vs 'any' (smallest sorted
+    # position, unlocks exact early termination of the band scans) at the
+    # default production config — the VERDICT-r3 ask: one number each.
+    print("\n--- selection modes (default config g=64 chunk=128 block=8192) ---",
+          flush=True)
+    for sel in ("first", "any"):
+        f = jax.jit(lambda p, a, m, s=sel: _ball_query_grid(
+            0.0, 0.5, 16, p, a, m, chunk=128, block=8192, grid_dim=64,
+            selection=s))
+        out, dt = timeit(f, xyz, anchors, m0, iters=iters)
+        # downstream semantics: the union MASK (which points are selected)
+        u = np.zeros(p0.shape[0], bool)
+        u[np.asarray(out).reshape(-1)] = True
+        n_union = int(u.sum())
+        print(f"selection={sel:5s}  {dt:7.1f} ms  union size {n_union}",
+              flush=True)
+
 
 if __name__ == "__main__":
     main()

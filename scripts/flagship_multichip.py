@@ -28,11 +28,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def flagship_lowering(mesh, *, compile_step: bool = True, max_objs: int = 500):
+V5E_HBM_MB = 16 * 1024
+HBM_BUDGET_MB = 15 * 1024  # leave ~1 GB headroom for runtime buffers
+
+
+def flagship_lowering(mesh, *, compile_step: bool = True, max_objs: int = 500,
+                      unfrozen: bool = False):
     """Trace + SPMD-partition the flagship train step on ``mesh``.
 
-    Returns a dict of diagnostics (trace/compile seconds, per-device memory
-    estimates when compiled).
+    ``unfrozen=False`` is the production frozen-DA3 regime (AdamW state
+    only on the refinement — build_optimizer masks 'da3');
+    ``unfrozen=True`` is the fine-tune regime (gradients + AdamW moments
+    through the whole 1.66B-param nested net, trunk blocks rematerialized)
+    — the configuration measure_train_step.py documents as inherently
+    multichip.
+
+    Returns a dict of diagnostics (trace/compile seconds, per-device
+    memory estimates when compiled, and a ``fits_v5e`` verdict asserting
+    the donated-arguments peak under the 16 GB HBM budget).
     """
     import jax
     import jax.numpy as jnp
@@ -46,7 +59,11 @@ def flagship_lowering(mesh, *, compile_step: bool = True, max_objs: int = 500):
     from recondet3d.train.trainer import TrainState, make_train_step
 
     cfg = load_py_config(os.path.join(REPO, "configs", "resdet3d_centerhead.py"))
-    model = build_model_from_cfg(cfg.to_dict())
+    cfg_dict = cfg.to_dict()
+    if unfrozen:
+        # freeze_da3=False also turns on trunk remat (cli/train.py)
+        cfg_dict["model"]["reconstruction_backbone"]["freeze_da3"] = False
+    model = build_model_from_cfg(cfg_dict)
 
     dp = mesh.shape[DATA_AXIS]
     B = dp  # one scene per data shard — the production regime
@@ -77,23 +94,40 @@ def flagship_lowering(mesh, *, compile_step: bool = True, max_objs: int = 500):
     eval_shape_s = time.time() - t0
 
     optimizer = build_optimizer(lr=1e-3, weight_decay=0.01, total_steps=100,
-                                grad_clip=100.0)
+                                grad_clip=100.0,
+                                frozen_patterns=() if unfrozen else ("da3",))
     opt_avals = jax.eval_shape(optimizer.init, params_avals)
 
     # attach the production shardings: TP layout on the ViT kernels,
-    # replicated everywhere else; optimizer moments inherit via tree_map
+    # replicated everywhere else
     p_shardings = da3_param_shardings(params_avals, mesh)
 
     def with_sharding(aval, s):
         return jax.ShapeDtypeStruct(aval.shape, aval.dtype, sharding=s)
 
-    params_avals = jax.tree_util.tree_map(with_sharding, params_avals, p_shardings)
+    # AdamW moments (mu/nu inside the optax state) must be sharded LIKE
+    # THEIR PARAMETERS or the replicated copies blow the per-device HBM
+    # budget in the unfrozen regime (2x 6.6 GB of f32 moments). The optax
+    # state embeds the params tree, so a moment leaf's path SUFFIX equals
+    # its parameter's path: match on that (plus shape) and fall back to
+    # replicated for everything else (counts, hyperparams).
+    pflat = jax.tree_util.tree_flatten_with_path(p_shardings)[0]
+    aflat = jax.tree_util.tree_flatten_with_path(params_avals)[0]
+    by_path = {
+        tuple(str(k) for k in path): (aval.shape, s)
+        for (path, s), (_, aval) in zip(pflat, aflat)
+    }
 
-    def moment_sharding(aval):
-        # match a moment leaf to its parameter's sharding by shape lookup
+    def moment_sharding(path, aval):
+        keys = tuple(str(k) for k in path)
+        for i in range(len(keys)):
+            hit = by_path.get(keys[i:])
+            if hit is not None and hit[0] == aval.shape:
+                return with_sharding(aval, hit[1])
         return with_sharding(aval, replicated(mesh))
 
-    opt_avals = jax.tree_util.tree_map(moment_sharding, opt_avals)
+    params_avals = jax.tree_util.tree_map(with_sharding, params_avals, p_shardings)
+    opt_avals = jax.tree_util.tree_map_with_path(moment_sharding, opt_avals)
     stats_avals = jax.tree_util.tree_map(
         lambda a: with_sharding(a, replicated(mesh)), stats_avals)
 
@@ -128,6 +162,17 @@ def flagship_lowering(mesh, *, compile_step: bool = True, max_objs: int = 500):
                 v = getattr(ma, k, None)
                 if v is not None:
                     out[k.replace("_in_bytes", "_MB")] = round(v / 2**20, 1)
+            # per-device peak with the state donated: outputs alias the
+            # argument buffers, so live memory ~= arguments + temporaries
+            peak = out.get("argument_size_MB", 0) + out.get("temp_size_MB", 0)
+            out["peak_donated_MB"] = round(peak, 1)
+            out["fits_v5e"] = bool(peak < HBM_BUDGET_MB)
+            assert out["fits_v5e"], (
+                f"per-device peak {peak:.0f} MB exceeds the {HBM_BUDGET_MB} MB"
+                f" v5e budget (HBM {V5E_HBM_MB} MB)"
+            )
+        except AssertionError:
+            raise
         except Exception as e:  # memory analysis is backend-best-effort
             out["memory_analysis"] = f"unavailable: {e}"
     return out
@@ -148,7 +193,8 @@ def main():
     n = len(jax.devices())
     tp = 2 if n % 2 == 0 and n >= 4 else 1
     mesh = make_mesh(jax.devices(), data=n // tp, model=tp)
-    info = flagship_lowering(mesh, compile_step="--no-compile" not in sys.argv)
+    info = flagship_lowering(mesh, compile_step="--no-compile" not in sys.argv,
+                             unfrozen="--unfrozen" in sys.argv)
     print("flagship_multichip:", info)
 
 

@@ -3,7 +3,15 @@
 (frozen da3-large depth -> unprojection -> pipeline -> refinement) with
 occupancy loss + AdamW-on-trainables, one jitted step.
 
-Usage: python scripts/measure_train_step.py [iters] [--unfrozen]
+Usage: python scripts/measure_train_step.py [iters] [--unfrozen] [--curve]
+
+--curve (use with iters >= 50) additionally writes TRAIN_CURVE.json
+(the normalized on-chip loss trajectory + ms/step) and ASSERTS the
+normalized tail the way tests/test_full_loop.py does on CPU — the
+reference's production occupancy run stagnates at ~0.88 normalized
+(reference: ANALYSIS_OCCUPANCY_TRAINING.md:6-9), a healthy chip-side
+run here must beat 0.5 by step 150 — so one command catches chip-side
+training regressions.
 
 --unfrozen removes the DA3 freeze (reference fine-tuning mode,
 freeze_da3=False in ResDet3D_nuscenes_mini_config.py) so gradients flow
@@ -13,12 +21,13 @@ dK/dV) on the real chip at production token counts (1297 -> 1408 padded).
 The trunk blocks are rematerialized when unfrozen (build_pipeline sets
 remat) or the live activations exceed v5e HBM.
 
-Preset via RECONDET3D_BENCH_PRESET (default = bench.PRESET,
-da3nested-giant-large). NOTE: the nested-giant preset cannot fine-tune
-on ONE v5e — params+AdamW state alone are 1656M*4B*3 = 19.9 GB > 16 GB
-HBM; that configuration is inherently multichip (scripts/
-flagship_multichip.py shards it). Use RECONDET3D_BENCH_PRESET=da3-large
-for the single-chip unfrozen measurement."""
+Preset via RECONDET3D_BENCH_PRESET. Defaults are per-mode: frozen ->
+bench.PRESET (da3nested-giant-large), --unfrozen -> da3-large. The
+nested-giant preset cannot fine-tune on ONE v5e — params+AdamW state
+alone are 1656M*4B*3 = 19.9 GB > 16 GB HBM; that configuration is
+inherently multichip (scripts/flagship_multichip.py shards it), so
+combining --unfrozen with an explicit nested-giant preset errors out
+early instead of OOMing after minutes of compile."""
 
 import os
 import sys
@@ -44,7 +53,19 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     unfrozen = "--unfrozen" in sys.argv[1:]
     iters = int(args[0]) if args else 5
-    model = bench.build_pipeline(jnp.bfloat16, freeze_da3=not unfrozen)
+    preset = os.environ.get("RECONDET3D_BENCH_PRESET")
+    if preset is None:
+        # per-mode default: nested-giant cannot fine-tune on one v5e
+        preset = "da3-large" if unfrozen else bench.PRESET
+    elif unfrozen and "giant" in preset:
+        sys.exit(
+            f"--unfrozen with {preset}: params+AdamW state (19.9 GB) exceed "
+            "one v5e's 16 GB HBM; use scripts/flagship_multichip.py for the "
+            "sharded fine-tune or RECONDET3D_BENCH_PRESET=da3-large here."
+        )
+    print(f"preset: {preset}", file=sys.stderr)
+    model = bench.build_pipeline(jnp.bfloat16, preset=preset,
+                                 freeze_da3=not unfrozen)
     if unfrozen:
         print("UNFROZEN: gradients through DA3 (Pallas attention backward)",
               file=sys.stderr)
@@ -85,10 +106,13 @@ def main():
         print(f"warmup {w}: {time.time()-t0:.1f}s loss={loss:.4f}",
               file=sys.stderr)
 
+    curve = "--curve" in sys.argv[1:]
+    losses = []
     t0 = time.time()
     for it in range(iters):
         state, metrics = step(state, sb)
         loss = float(metrics["loss"])  # device_get sync each step
+        losses.append(loss)
         if iters > 20 and (it % 10 == 0 or it == iters - 1):
             print(f"  step {it}: loss={loss:.4f} "
                   f"grad_norm={float(metrics['grad_norm']):.4f}",
@@ -96,6 +120,29 @@ def main():
     dt = (time.time() - t0) / iters
     print(f"train step: {dt*1000:.1f} ms/step  loss={loss:.4f} "
           f"grad_norm={float(metrics['grad_norm']):.4f}")
+
+    if curve:
+        import json
+
+        normalized = [l / losses[0] for l in losses]
+        rec = dict(
+            preset=preset, unfrozen=unfrozen, steps=iters,
+            ms_per_step=round(dt * 1000, 1),
+            losses=[round(l, 4) for l in losses],
+            normalized_tail=round(normalized[-1], 4),
+        )
+        path = os.path.join(REPO, "TRAIN_CURVE.json")
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+        print(f"wrote {path}: normalized tail {normalized[-1]:.3f}",
+              file=sys.stderr)
+        # regression gate (mirrors tests/test_full_loop.py): the curve must
+        # clearly beat the reference's stagnating ~0.88 normalized plateau
+        thresh = 0.5 if iters >= 150 else 0.95
+        assert normalized[-1] < thresh, (
+            f"chip train curve regressed: normalized tail "
+            f"{normalized[-1]:.3f} >= {thresh} over {iters} steps"
+        )
 
 
 if __name__ == "__main__":

@@ -231,3 +231,225 @@ def test_eval_offset_and_missing():
     assert m["class_aps"]["car"] == pytest.approx((0 + 0 + 4 / 9 + 4 / 9) / 4,
                                                   rel=1e-9)
     assert m["tp_errors"]["trans_err"] == pytest.approx(1.5, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Property test: randomized scenes vs an INDEPENDENT brute-force
+# transcription of the devkit algorithm (nuscenes/eval/detection/algo.py).
+# The golden vectors above pin the edge cases; this catches drift the
+# hand-picked cases miss. The brute force below shares no code with
+# recondet3d.train.eval.nuscenes_eval: plain-python greedy matching,
+# hand-rolled right=0 linear interpolation, literal formula transcription.
+
+# the devkit's recall grid is np.linspace(0, 1, 101) — its float values
+# differ from i/100 in the last ulp (e.g. linspace[70] = 0.7000000000000001
+# > 0.7), which right-fill-zeroes grid points an exact i/100 grid would
+# interpolate; the brute force must use the same spec constants
+_BF_GRID = [float(v) for v in np.linspace(0, 1, 101)]
+_BF_TPM = ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")
+
+
+def _bf_interp(x, xs, ys, right):
+    """np.interp semantics (ascending xs), hand-rolled: left-fill ys[0],
+    right fill `right`, duplicate x -> last value."""
+    if not xs:
+        return right
+    if x < xs[0]:
+        return ys[0]
+    if x > xs[-1]:
+        return right
+    # find the last interval containing x (duplicate xs -> later wins)
+    for j in range(len(xs) - 1, -1, -1):
+        if xs[j] <= x:
+            if xs[j] == x:
+                # np.interp returns the value at the LAST duplicate x
+                while j + 1 < len(xs) and xs[j + 1] == x:
+                    j += 1
+                return ys[j]
+            t = (x - xs[j]) / (xs[j + 1] - xs[j])
+            return ys[j] + t * (ys[j + 1] - ys[j])
+    return ys[0]
+
+
+def _bf_cummean(vals):
+    if all(v != v for v in vals):  # all NaN
+        return [1.0] * len(vals)
+    out, s, c = [], 0.0, 0
+    for v in vals:
+        if v == v:
+            s += v
+            c += 1
+        out.append(s / c if c else 0.0)
+    return out
+
+
+def _bf_accumulate(gts, preds, dist_th):
+    npos = len(gts)
+    no_pred = ([0.0] * 101, [0.0] * 101, {k: [1.0] * 101 for k in _BF_TPM})
+    if npos == 0:
+        return no_pred
+    order = sorted(range(len(preds)),
+                   key=lambda i: (-preds[i].detection_score, i))
+    taken = set()
+    tp, conf = [], []
+    merr = {k: [] for k in _BF_TPM}
+    mconf = []
+    for i in order:
+        p = preds[i]
+        best, best_d = None, float("inf")
+        for gi, g in enumerate(gts):
+            if g.sample_token != p.sample_token or gi in taken:
+                continue
+            dx = g.translation[0] - p.translation[0]
+            dy = g.translation[1] - p.translation[1]
+            d = (dx * dx + dy * dy) ** 0.5
+            if d < best_d:
+                best, best_d = gi, d
+        if best is not None and best_d < dist_th:
+            taken.add(best)
+            g = gts[best]
+            tp.append(1)
+            conf.append(p.detection_score)
+            merr["trans_err"].append(best_d)
+            inter = 1.0
+            union = 1.0
+            mn = [min(a, b) for a, b in zip(g.size, p.size)]
+            inter = mn[0] * mn[1] * mn[2]
+            union = (g.size[0] * g.size[1] * g.size[2]
+                     + p.size[0] * p.size[1] * p.size[2] - inter)
+            merr["scale_err"].append(1.0 - (inter / union if union > 0 else 0.0))
+            period = np.pi if g.detection_name == "barrier" else 2 * np.pi
+            dyaw = (g.yaw - p.yaw) % period
+            merr["orient_err"].append(min(dyaw, period - dyaw))
+            dvx = g.velocity[0] - p.velocity[0]
+            dvy = g.velocity[1] - p.velocity[1]
+            merr["vel_err"].append((dvx * dvx + dvy * dvy) ** 0.5)
+            merr["attr_err"].append(
+                float("nan") if not g.attribute_name
+                else 1.0 - float(g.attribute_name == p.attribute_name))
+            mconf.append(p.detection_score)
+        else:
+            tp.append(0)
+            conf.append(p.detection_score)
+    if not mconf:
+        return no_pred
+    prec, rec = [], []
+    t = f = 0
+    for i, hit in enumerate(tp):
+        t += hit
+        f += 1 - hit
+        prec.append(t / (t + f))
+        rec.append(t / npos)
+    prec_i = [_bf_interp(r, rec, prec, right=0.0) for r in _BF_GRID]
+    conf_i = [_bf_interp(r, rec, conf, right=0.0) for r in _BF_GRID]
+    errors = {}
+    rev_mc = mconf[::-1]
+    for k in _BF_TPM:
+        cm = _bf_cummean(merr[k])[::-1]
+        # interp as a function of confidence; outside-range fill = edge vals
+        vals = [_bf_interp(c, rev_mc, cm, right=cm[-1]) for c in conf_i[::-1]]
+        errors[k] = vals[::-1]
+    return prec_i, conf_i, errors
+
+
+def _bf_calc_ap(prec_i):
+    total = 0.0
+    for i in range(11, 101):
+        total += max(prec_i[i] - 0.1, 0.0)
+    return total / 90.0 / 0.9
+
+
+def _bf_calc_tp(conf_i, errors, k):
+    last = 0
+    for i in range(101):
+        if conf_i[i] != 0.0:
+            last = i
+    if last < 11:
+        return 1.0
+    window = errors[k][11:last + 1]
+    return sum(window) / len(window)
+
+
+def _bf_evaluate(gts, preds, class_names):
+    aps, tpe = {}, {}
+    for cls in class_names:
+        g = [b for b in gts if b.detection_name == cls]
+        p = [b for b in preds if b.detection_name == cls]
+        vals = []
+        for th in (0.5, 1.0, 2.0, 4.0):
+            prec_i, conf_i, errors = _bf_accumulate(g, p, th)
+            vals.append(_bf_calc_ap(prec_i))
+            if th == 2.0:
+                errs = {}
+                for k in _BF_TPM:
+                    if cls == "traffic_cone" and k in (
+                            "attr_err", "vel_err", "orient_err"):
+                        errs[k] = float("nan")
+                    elif cls == "barrier" and k in ("attr_err", "vel_err"):
+                        errs[k] = float("nan")
+                    else:
+                        errs[k] = _bf_calc_tp(conf_i, errors, k)
+                tpe[cls] = errs
+        aps[cls] = sum(vals) / len(vals)
+    mean_ap = sum(aps.values()) / len(aps) if aps else 0.0
+    tp_means = {}
+    for k in _BF_TPM:
+        fin = [tpe[c][k] for c in tpe if tpe[c][k] == tpe[c][k]]
+        tp_means[k] = sum(fin) / len(fin) if fin else 1.0
+    nds = (5 * mean_ap + sum(max(1.0 - tp_means[k], 0.0) for k in _BF_TPM)) / 10.0
+    return dict(mAP=mean_ap, NDS=nds, class_aps=aps, tp_errors=tp_means)
+
+
+def _random_scene(rng, classes):
+    """Randomized multi-sample scene: GTs + noisy matched preds + false
+    positives + dropped detections; occasional empty attributes, zero-GT
+    classes, and unpredicted samples."""
+    gts, preds = [], []
+    n_samples = int(rng.integers(1, 4))
+    for s in range(n_samples):
+        tok = f"s{s}"
+        for cls in classes:
+            n_gt = int(rng.integers(0, 5))
+            for _ in range(n_gt):
+                xy = rng.uniform(-20, 20, 2)
+                size = rng.uniform(0.5, 4.0, 3)
+                yaw = float(rng.uniform(-np.pi, np.pi))
+                vel = rng.uniform(-3, 3, 2)
+                attr = "" if rng.random() < 0.25 else f"a{int(rng.integers(0, 2))}"
+                gts.append(DetectionBox(tok, [*xy, 0.0], size, yaw, vel, cls,
+                                        attribute_name=attr))
+                if rng.random() < 0.8:  # matched-ish prediction
+                    nxy = xy + rng.normal(0, rng.choice([0.2, 1.0, 3.0]), 2)
+                    nsize = np.maximum(size + rng.normal(0, 0.3, 3), 0.1)
+                    nyaw = yaw + float(rng.normal(0, 0.5))
+                    nvel = vel + rng.normal(0, 0.5, 2)
+                    nattr = attr if rng.random() < 0.7 else "a9"
+                    preds.append(DetectionBox(
+                        tok, [*nxy, 0.0], nsize, nyaw, nvel, cls,
+                        detection_score=float(rng.uniform(0.05, 1.0)),
+                        attribute_name=nattr))
+            for _ in range(int(rng.integers(0, 3))):  # false positives
+                preds.append(DetectionBox(
+                    tok, [*rng.uniform(-25, 25, 2), 0.0],
+                    rng.uniform(0.5, 4.0, 3), float(rng.uniform(-np.pi, np.pi)),
+                    rng.uniform(-3, 3, 2), cls,
+                    detection_score=float(rng.uniform(0.05, 1.0)),
+                    attribute_name=f"a{int(rng.integers(0, 2))}"))
+    return gts, preds
+
+
+def test_eval_property_vs_bruteforce():
+    classes = ["car", "pedestrian", "barrier", "traffic_cone"]
+    rng = np.random.default_rng(20260820)
+    for scene in range(100):
+        gts, preds = _random_scene(rng, classes)
+        got = evaluate_nuscenes(gts, preds, classes)
+        want = _bf_evaluate(gts, preds, classes)
+        assert got["mAP"] == pytest.approx(want["mAP"], abs=1e-12), scene
+        assert got["NDS"] == pytest.approx(want["NDS"], abs=1e-12), scene
+        for cls in classes:
+            assert got["class_aps"][cls] == pytest.approx(
+                want["class_aps"][cls], abs=1e-12), (scene, cls)
+        for k in _BF_TPM:
+            assert got["tp_errors"][k] == pytest.approx(
+                want["tp_errors"][k], abs=1e-12), (scene, k)

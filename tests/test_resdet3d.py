@@ -370,7 +370,8 @@ def test_pipelined_step_matches_simple_test():
         method=lambda m, i: m.reconstruction_backbone.predict_depth(i),
     )
     (depth2, intr2), out = model.apply(
-        variables, depth, intr, img_j, c2l_j, method="pipelined_test_step"
+        variables, depth, intr, img_j, img_j, c2l_j,
+        method="pipelined_test_step"
     )
     np.testing.assert_array_equal(np.asarray(depth2), np.asarray(depth))
     np.testing.assert_array_equal(np.asarray(intr2), np.asarray(intr))
