@@ -33,8 +33,10 @@ Schedules:
   pipelined — DA3 of scene t+1 is issued in the same step as the point
               pipeline of scene t (ResDet3D.pipelined_test_step). On a
               single-TensorCore chip XLA serializes HLOs, so this mainly
-              probes scheduler/fusion effects; measured numbers for both
-              live in docs/performance.md.
+              probes scheduler/fusion effects; measured v5e numbers
+              (anchored): nested 15.92 vs 15.90 serial, da3-large 23.06
+              vs 23.16 — parity, as expected on one core
+              (docs/performance.md).
 
 Env knobs: RECONDET3D_BENCH_PRESET (default da3nested-giant-large),
 RECONDET3D_BENCH_EXTRA (comma list, default da3-large; "" skips),

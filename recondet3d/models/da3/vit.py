@@ -151,12 +151,17 @@ class DinoViT(nn.Module):
         # production shapes; block-granular rematerialization trades one
         # extra forward for O(depth) -> O(1) live activations. The lifted
         # transform preserves the "blocks_i" param layout.
+        # prevent_cse MUST be True here: the blocks run in a python loop
+        # (not lax.scan), and with False XLA's CSE merges the recomputed
+        # forward back into the saved one, silently undoing the remat —
+        # caught by the flagship multichip HBM assertion (unfrozen peak
+        # measured 76.6 GB/device with CSE vs fitting with barriers).
         if self.remat:
             policy = (
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                 if self.remat_policy == "dots" else None
             )
-            block_cls = nn.remat(Block, prevent_cse=False, policy=policy)
+            block_cls = nn.remat(Block, prevent_cse=True, policy=policy)
         else:
             block_cls = Block
 

@@ -78,8 +78,12 @@ class ResDet3D(nn.Module):
         (reference: projects/mmdet3d_plugin/models/detectors/ResDet3D.py
         :184-213); this schedule exists so a serving loop (and bench.py's
         RECONDET3D_BENCH_SCHEDULE=pipelined mode) can expose any
-        cross-stage overlap the compiler can find. Measured v5e numbers
-        for serial vs pipelined live in docs/performance.md.
+        cross-stage overlap the compiler can find. Measured on v5e
+        (anchored, 2026-08): nested-giant 15.92 f/s pipelined vs 15.90
+        serial, da3-large 23.06 vs 23.16 — no gain on ONE TensorCore
+        (XLA executes the independent HLOs sequentially); the schedule's
+        value is the one-scene latency shape for real scene streams and
+        multi-core parts (details in docs/performance.md).
         """
         bk = self.reconstruction_backbone
         depth, intr, _ = bk.predict_depth(img)

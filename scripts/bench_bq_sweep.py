@@ -112,6 +112,30 @@ def main():
         print(f"selection={sel:5s}  {dt:7.1f} ms  union size {n_union}",
               flush=True)
 
+    # shared-cell-sort upper bound (VERDICT-r3 ask): the pipeline builds
+    # three independent sorted structures (FPS 16x16 bucket sort, BQ 64x64
+    # point sort, compaction argsort) over the same pre-reduced cloud. The
+    # most a shared structure can save is ~the cost of the sorts it
+    # removes; measure ONE cell-sort (argsort + xyz/valid/index gathers)
+    # at the production shape to bound the win.
+    from _timing import timeit_scan
+
+    def one_sort(p, m):
+        G = 64
+        lo = jnp.min(jnp.where(m[:, None], p[:, :2], jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(m[:, None], p[:, :2], -jnp.inf), axis=0)
+        cell = jnp.maximum((hi - lo) / G, 0.5)
+        rc = jnp.clip(jnp.floor((p[:, :2] - lo) / cell).astype(jnp.int32),
+                      0, G - 1)
+        pcell = jnp.where(m, rc[:, 0] * G + rc[:, 1], G * G)
+        order = jnp.argsort(pcell, stable=True).astype(jnp.int32)
+        return p[order], m[order], order, pcell[order]
+
+    dt = timeit_scan(None, jax.jit(one_sort), xyz, m0, repeats=8, iters=iters)
+    print(f"\none cell-sort (argsort + 4 gathers) at {p0.shape[0]} pts: "
+          f"{dt:.2f} ms -> shared-structure ceiling ~2x this "
+          f"(it could remove at most 2 of the 3 sorts)", flush=True)
+
 
 if __name__ == "__main__":
     main()

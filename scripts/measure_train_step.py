@@ -17,7 +17,9 @@ training regressions.
 freeze_da3=False in ResDet3D_nuscenes_mini_config.py) so gradients flow
 through the whole ViT — this is the path that compiles and executes the
 two Pallas flash-attention backward kernels (ops/attention.py dQ and
-dK/dV) on the real chip at production token counts (1297 -> 1408 padded).
+dK/dV) on the real chip at production token counts (721 local / 4326
+global, padded to the backward block grid; RECONDET3D_REMAT_POLICY
+selects the rematerialization policy, block|dots).
 The trunk blocks are rematerialized when unfrozen (build_pipeline sets
 remat) or the live activations exceed v5e HBM.
 

@@ -5,6 +5,14 @@ Each stage is jitted separately (fusion across stage boundaries is lost, so
 the sum slightly over-counts vs the fused bench number, but the ranking is
 what matters).
 
+Composition follows bench.py (RECONDET3D_BENCH_COMPOSITION, default
+anchored): under 'anchored' the point stages consume the depth field
+z-buffered from the reference's own output points — the realistic
+production distribution, and the same data bench.py's headline times —
+while 'raw' feeds DA3's own (random-weight) depth through. The two can
+differ materially in the BQ/FPS/refinement stages (point density), so
+every record is labeled.
+
 Usage: python scripts/profile_stages.py [iters]
 """
 
@@ -76,9 +84,24 @@ def main():
     f_da3 = jax.jit(f_da3)
     da3_out = timeit("da3_forward", f_da3, da3_params, x, iters=iters)
 
+    # anchored composition: point stages consume the reference-derived
+    # depth field (gated denormal coupling, exactly like bench.py)
+    composition = os.environ.get("RECONDET3D_BENCH_COMPOSITION", "anchored")
+    anchor = None
+    if composition == "anchored":
+        h, w = int(da3_out["depth"].shape[2]), int(da3_out["depth"].shape[3])
+        anchor_np = bench.make_anchor_depth(c2l, h, w)
+        if anchor_np is None:
+            composition = "raw"
+        else:
+            anchor = jnp.asarray(anchor_np)
+    print(f"[profile_stages] composition: {composition}", file=sys.stderr)
+
     # stage 3: unproject + range filter
     def f_unproj(do, c2l_):
         depth = do["depth"].astype(jnp.float32)
+        if anchor is not None:
+            depth = anchor + jnp.where(anchor > 0, depth * jnp.float32(1e-38), 0.0)
         intr = do["intrinsics"].astype(jnp.float32)
         pts_cam = depth_to_points_cam(depth, intr)
         valid = (depth > 0) & jnp.isfinite(depth) & (depth <= bk.max_depth)
@@ -132,9 +155,10 @@ def main():
     f_ref = jax.jit(f_ref)
     timeit("refinement", f_ref, ref_params, p2, m2, iters=iters)
 
-    # whole fused pipeline for comparison
+    # whole fused pipeline for comparison (same depth_override anchoring
+    # as bench.py when composition == anchored)
     def _run(v, i, c):
-        out = model.apply(v, i, c)
+        out = model.apply(v, i, c, depth_override=anchor)
         return (
             out["pseudo_points"].sum(),
             out["aux"]["occupancy_logits"].sum(),
@@ -150,7 +174,7 @@ def main():
         sync(out)
     dt = max(1e-3, (time.time() - t0) / iters * 1000 - 2 * _DISPATCH_MS)
     print(f"{'TOTAL fused e2e':30s} {dt:8.1f} ms   "
-          f"({bench.N_CAMS / (dt / 1000):.2f} frames/s)")
+          f"({bench.N_CAMS / (dt / 1000):.2f} frames/s, {composition})")
 
 
 if __name__ == "__main__":
