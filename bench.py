@@ -231,6 +231,19 @@ def measure(preset, backend, iters, schedule=SCHEDULE, composition=COMPOSITION):
     if ckpt:  # real DA3 safetensors -> real depth distribution
         variables = _load_ckpt_into(variables, ckpt)
 
+    if backend == "tpu" and os.environ.get(
+            "RECONDET3D_BENCH_BF16_PARAMS", "1") != "0":
+        # serving-time storage cast: bf16 copies of exactly the trunk
+        # params the modules consume in bf16 anyway — RESULT-IDENTICAL
+        # (tests/test_da3_parity.py::test_cast_trunk_params_bf16_exact),
+        # removes the per-step f32->bf16 weight-cast HBM traffic
+        from recondet3d.api.weights import cast_trunk_params_bf16
+
+        variables = jax.jit(
+            lambda v: dict(v, params=cast_trunk_params_bf16(v["params"]))
+        )(variables)
+        jax.block_until_ready(variables)
+
     # anchor depth (realistic distribution) at the model's processed res
     from recondet3d.data.input_processor import compute_process_shape
 

@@ -23,7 +23,12 @@ from typing import Dict, List, Tuple
 import jax
 import numpy as np
 
-__all__ = ["convert_torch_state_dict", "load_safetensors", "import_da3_checkpoint"]
+__all__ = [
+    "convert_torch_state_dict",
+    "load_safetensors",
+    "import_da3_checkpoint",
+    "cast_trunk_params_bf16",
+]
 
 _PREFIX_MAP = [
     ("da3.backbone.pretrained.", "anyview/net/"),
@@ -170,3 +175,48 @@ def import_da3_checkpoint(path: str, model, example_input):
         sd = {k: v.numpy() for k, v in torch.load(path, map_location="cpu").items()}
     new_params, unused, unfilled = convert_torch_state_dict(sd, params)
     return new_params, unused, unfilled
+
+
+def cast_trunk_params_bf16(params):
+    """Serving-time storage cast: bf16 copies of exactly the DA3 ViT-trunk
+    parameters the modules consume in bf16 anyway.
+
+    Every trunk Dense/Conv (``nn.Dense(dtype=bf16)``) casts its f32 kernel
+    and bias with ``jnp.asarray(w, bf16)`` on EVERY forward — f32 storage
+    therefore costs double weight-read HBM bandwidth per step for bits the
+    MXU never sees. Pre-casting those leaves is RESULT-IDENTICAL (the
+    module applies the same cast, now a no-op) and the reference deploys
+    half-precision trunks the same way (reference: da3.py autocast /
+    from_pretrained dtype handling).
+
+    Cast (consumed via ``.astype(bf16)``/``asarray(.., bf16)``):
+      blocks_*/attn/{qkv,proj}, blocks_*/mlp/*, blocks_*/{ls1,ls2}/gamma,
+      patch_embed/*, cls_token, camera_token.
+    Kept f32 (consumed in f32): every LayerNorm (norm1/norm2/q_norm/
+      k_norm/final norm — fp32 autocast semantics), pos_embed (the bicubic
+      resize runs in the STORAGE dtype, so casting it would change
+      results), and every non-trunk module (DPT/DualDPT heads, camera
+      encoder/decoder — their f32 params feed mixed f32/bf16 paths).
+
+    tests/test_da3_parity.py::test_cast_trunk_params_bf16_exact asserts
+    bit-identical outputs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def leaf(path, x):
+        keys = [getattr(p, "key", "") for p in path]
+        joined = "/".join(str(k) for k in keys)
+        in_block = any(str(k).startswith("blocks_") for k in keys)
+        cast = (
+            (in_block and ("/attn/qkv" in joined or "/attn/proj" in joined
+                           or "/mlp/" in joined or "/ls1/" in joined
+                           or "/ls2/" in joined))
+            or "patch_embed" in joined
+            or keys[-1] in ("cls_token", "camera_token")
+        )
+        if cast and hasattr(x, "dtype") and x.dtype == jnp.float32:
+            return x.astype(jnp.bfloat16)
+        return x
+
+    return jax.tree_util.tree_map_with_path(leaf, params)

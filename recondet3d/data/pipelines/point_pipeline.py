@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from recondet3d.core.registry import PIPELINES
 from recondet3d.ops.ball_query import ball_query
+from recondet3d.ops.cell_sort import cell_sort
 from recondet3d.ops.sampling import furthest_point_sample
 from recondet3d.ops.scatter import dynamic_scatter
 from recondet3d.ops.voxelize import compute_grid_size, dynamic_voxelize
@@ -64,6 +65,9 @@ def ball_query_downsample(
     sample_num: int = 16,
     compact: bool = False,
     selection: str = "first",
+    grid_dim: int = 64,
+    grid_block: int = 8192,
+    share_sort: bool = False,
 ):
     """Density-aware downsample: FPS anchors + union of ball-query neighbors,
     expressed as a mask over the input (reference: BallQueryDownsample:102).
@@ -73,15 +77,32 @@ def ball_query_downsample(
     anchor_points * (sample_num + 1) (exact — the union cannot exceed it),
     which roughly halves the cost of a following FPS at nuScenes scales.
 
+    With ``share_sort=True`` ONE cell-sorted structure (ops/cell_sort.py,
+    grid_dim^2 cells) serves the FPS anchor selection, the ball query,
+    AND the compaction: the compacted output comes out in SPATIAL order,
+    so a following FPS can skip its own sort too (fps_downsample's
+    ``input_spatially_sorted``). Selected SETS are identical either way
+    (the mask semantics are order-free); only FPS's exact-distance
+    tie-breaks and the compacted row order differ — the reference keeps
+    its (dynamic-shape) clouds in input order, so spatial order is an
+    implementation-detail deviation at the same fidelity as the
+    compaction itself.
+
     ``points`` may carry extra channels (e.g. xyzrgb); geometry uses the
     first 3 and the extras ride along through every selection."""
     N = points.shape[0]
     xyz = points[:, :3]
-    anchor_idx = furthest_point_sample(xyz, anchor_points, valid)
+    structure = None
+    if share_sort:
+        structure = cell_sort(xyz, valid, grid_dim=grid_dim,
+                              min_cell=max_radius)
+    anchor_idx = furthest_point_sample(xyz, anchor_points, valid,
+                                       presorted=structure)
     anchors = xyz[anchor_idx]
     nbr = ball_query(
         min_radius, max_radius, sample_num, xyz, anchors, points_valid=valid,
-        selection=selection,
+        selection=selection, grid_dim=grid_dim, grid_block=grid_block,
+        structure=structure,
     )  # (A, S)
     sel = jnp.zeros((N,), bool)
     sel = sel.at[nbr.reshape(-1)].set(True)
@@ -93,14 +114,46 @@ def ball_query_downsample(
         cap = min(N, anchor_points * (sample_num + 1))
         # round up to a lane multiple for downstream kernels
         cap = ((cap + 127) // 128) * 128
+        if share_sort:
+            # compact in SPATIAL order via the shared structure: gather
+            # the union mask into sorted space, stable-partition there,
+            # and map back through sorig — one small sort over bools
+            # instead of none saved here, but the OUTPUT is spatially
+            # sorted, so the following FPS skips its ~10 ms sort. The
+            # ORIGINAL-order-first selected point is hoisted to row 0
+            # (key -1) so a following FPS seeds exactly where the
+            # reference-order path would — the selected FPS SET is then
+            # identical, not just statistically equivalent.
+            sel_sorted = out_valid[structure.sorig]
+            first_orig = jnp.argmax(out_valid).astype(jnp.int32)
+            key = jnp.where(
+                sel_sorted & (structure.sorig == first_orig),
+                jnp.int8(-1), jnp.where(sel_sorted, jnp.int8(0), jnp.int8(1)),
+            )
+            perm = jnp.argsort(key, stable=True)[:cap]
+            take = structure.sorig[perm]
+            return points[take], sel_sorted[perm]
         return compact_points(points, out_valid, cap)
     return points, out_valid
 
 
-def fps_downsample(points, valid, *, num_points: int):
+def fps_downsample(points, valid, *, num_points: int,
+                   input_spatially_sorted: bool = False):
     """FPS cap to num_points (reference: FPSDownsample:209). Returns
-    (num_points, C) + mask; passthrough-compaction when already small."""
-    idx = furthest_point_sample(points[:, :3], num_points, valid)
+    (num_points, C) + mask; passthrough-compaction when already small.
+
+    ``input_spatially_sorted``: the caller guarantees the buffer is
+    already in spatially-coherent order (e.g. ball_query_downsample with
+    ``share_sort=True``), so the Pallas kernel's own pre-sort is skipped
+    — its per-block AABB pruning works on any coherent order."""
+    presorted = None
+    if input_spatially_sorted:
+        presorted = (
+            points[:, :3].astype(jnp.float32), valid,
+            jnp.arange(points.shape[0], dtype=jnp.int32),
+        )
+    idx = furthest_point_sample(points[:, :3], num_points, valid,
+                                presorted=presorted)
     fps_pts = points[idx]
     comp_pts, comp_valid = compact_points(points, valid, num_points)
     big = jnp.sum(valid) > num_points

@@ -55,6 +55,19 @@ class ReconstructionBackbone(nn.Module):
     # sorted-position tie-break, which unlocks exact early termination of
     # the grid ball query's band scans (ops/ball_query.py)
     bq_selection: str = "first"
+    # grid ball-query cost knobs (result-invariant), tuned at the
+    # PRODUCTION point density (~78k active pre-reduced points — real
+    # scenes / the anchored bench): grid_dim 128 / block 2048 runs the
+    # query at 28.9 ms vs 35.1 for the dense-cloud tuning (64/8192);
+    # see ops/ball_query.py's docstring for both sweeps
+    bq_grid_dim: int = 128
+    bq_grid_block: int = 2048
+    # share ONE cell-sorted structure (ops/cell_sort.py) across the FPS
+    # anchor selection, the ball query, and the compaction — the final
+    # FPS then skips its own sort too. Selected sets are identical; only
+    # FPS tie-breaks / internal buffer order differ (see
+    # ball_query_downsample's docstring).
+    bq_share_sort: bool = True
     num_points: int = 40000
     gt_num_points: int = 40000
     # Voxel-grid pre-reduction ahead of BQ/FPS (the reference config's
@@ -138,8 +151,14 @@ class ReconstructionBackbone(nn.Module):
                 sample_num=self.bq_sample_num,
                 compact=True,
                 selection=self.bq_selection,
+                grid_dim=self.bq_grid_dim,
+                grid_block=self.bq_grid_block,
+                share_sort=self.bq_share_sort,
             )
-            return fps_downsample(p, m, num_points=self.num_points)
+            return fps_downsample(
+                p, m, num_points=self.num_points,
+                input_spatially_sorted=self.bq_share_sort,
+            )
 
         # static python loop over the (small) batch — vmap would push its
         # batching rule through the Pallas FPS kernel and the scan-based

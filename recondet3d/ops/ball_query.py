@@ -58,22 +58,40 @@ def ball_query(
     block: int = 32768,
     impl: str = "auto",
     selection: str = "first",
+    grid_dim: int = 64,
+    grid_block: int = 8192,
+    structure=None,
 ) -> jnp.ndarray:
     """points (N, 3), centers (M, 3) -> (M, nsample) int32.
 
-    ``chunk`` default swept on v5e at the production shape (25k centers x
-    393k pre-reduced points, scripts/bench_bq_sweep.py): 128 at 41.5 ms
-    vs 256 at 45.6; block 8192 and grid_dim 64 confirmed best.
+    Knob sweeps on v5e at the production shape (25k centers x 393k-buffer
+    pre-reduced cloud, scripts/bench_bq_sweep.py + bench_pipeline_anchored
+    .py). The result is knob-invariant (exact op); only the cost moves:
+    - fully dense buffer (~393k active): chunk 128 at 34.2 ms vs 256 at
+      45.6; grid_dim 64 / grid_block 8192 best — the defaults here.
+    - production density (~78k active, the anchored/real-scene regime):
+      a finer grid wins — grid_dim 128 / grid_block 2048 at 28.9 ms vs
+      35.1 for the dense-tuned defaults. ReconstructionBackbone defaults
+      to the production tuning.
 
     ``selection="any"`` (grid impl only) relaxes the CUDA first-in-input-
     order tie-break to smallest-sorted-position, enabling exact early
-    termination of the band scans — see _ball_query_grid."""
+    termination of the band scans — see _ball_query_grid. Measured slower
+    at BOTH densities (37.9 vs 34.2 dense, 34.1 vs 28.9 anchored): the
+    extra early-exit reduction per block outweighs the skipped blocks.
+
+    ``structure`` (grid impl only): a precomputed ``ops.cell_sort
+    .CellSort`` over (points, points_valid) — skips the internal point
+    sort/boundary build so one structure can be shared with the FPS
+    kernel (see cell_sort.py; its grid_dim overrides ``grid_dim`` here,
+    and its ``min_cell`` must be >= max_radius)."""
     if impl == "auto":
         impl = "grid" if points.shape[0] >= 65536 else "scan"
     if impl == "grid":
         return _ball_query_grid(
             min_radius, max_radius, nsample, points, centers, points_valid,
-            chunk=chunk, selection=selection,
+            chunk=chunk, block=grid_block, grid_dim=grid_dim,
+            selection=selection, structure=structure,
         )
     return _ball_query_scan(
         min_radius, max_radius, nsample, points, centers, points_valid,
@@ -155,6 +173,7 @@ def _ball_query_grid(
     block: int = 8192,
     grid_dim: int = 64,
     selection: str = "first",
+    structure=None,
 ) -> jnp.ndarray:
     """Grid-pruned exact ball query.
 
@@ -186,40 +205,58 @@ def _ball_query_grid(
     max_sq = float(max_radius) ** 2
     r = float(max_radius)
 
-    pts = points.astype(jnp.float32)
     cen = centers.astype(jnp.float32)
-    valid = (
-        points_valid.astype(bool) if points_valid is not None
-        else jnp.ones((N,), bool)
-    )
 
-    # grid extent from the centers (+r margin). The +-1-cell neighbor
-    # guarantee needs cell >= r, so clamp upward; the grid then covers at
-    # least [lo, lo + G*cell] ⊇ all centers, and points outside are
-    # CLIPPED into the boundary cells (scanned there, distance-filtered) —
-    # a point within r of any center is never clipped across more than
-    # one cell boundary relative to that center.
-    lo = jnp.min(cen[:, :2], axis=0) - r
-    hi = jnp.max(cen[:, :2], axis=0) + r
-    cell = jnp.maximum((hi - lo) / G, r)  # (2,)
+    if structure is not None:
+        # shared pre-built sort (ops/cell_sort.py). Exactness: the
+        # structure's grid covers the points' valid extent with
+        # cell >= min_cell >= r, centers are (selected) points and thus
+        # in-extent, so an in-radius point is never more than one
+        # row/column from its center's cell — the +-1 band below.
+        G = structure.grid_dim
+        n_cells = G * G
+        lo = structure.lo
+        cell = structure.cell
+        spts, sval = structure.spts, structure.sval
+        sorig, cell_start = structure.sorig, structure.cell_start
 
-    def cell_of(xy):
-        rc = jnp.floor((xy - lo) / cell).astype(jnp.int32)
-        return jnp.clip(rc, 0, G - 1)
+        def cell_of(xy):
+            rc = jnp.floor((xy - lo) / cell).astype(jnp.int32)
+            return jnp.clip(rc, 0, G - 1)
+    else:
+        pts = points.astype(jnp.float32)
+        valid = (
+            points_valid.astype(bool) if points_valid is not None
+            else jnp.ones((N,), bool)
+        )
 
-    prc = cell_of(pts[:, :2])
-    pcell = jnp.where(valid, prc[:, 0] * G + prc[:, 1], n_cells)
+        # grid extent from the centers (+r margin). The +-1-cell neighbor
+        # guarantee needs cell >= r, so clamp upward; the grid then covers
+        # at least [lo, lo + G*cell] ⊇ all centers, and points outside are
+        # CLIPPED into the boundary cells (scanned there, distance-
+        # filtered) — a point within r of any center is never clipped
+        # across more than one cell boundary relative to that center.
+        lo = jnp.min(cen[:, :2], axis=0) - r
+        hi = jnp.max(cen[:, :2], axis=0) + r
+        cell = jnp.maximum((hi - lo) / G, r)  # (2,)
 
-    order = jnp.argsort(pcell, stable=True)
-    spts = pts[order]
-    sval = valid[order]
-    sorig = order.astype(jnp.int32)
-    scell = pcell[order]
+        def cell_of(xy):
+            rc = jnp.floor((xy - lo) / cell).astype(jnp.int32)
+            return jnp.clip(rc, 0, G - 1)
 
-    counts = jnp.zeros((n_cells + 1,), jnp.int32).at[scell].add(1)
-    cell_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
-    )  # (n_cells + 2,); cell_start[c] = first sorted row of cell c
+        prc = cell_of(pts[:, :2])
+        pcell = jnp.where(valid, prc[:, 0] * G + prc[:, 1], n_cells)
+
+        order = jnp.argsort(pcell, stable=True)
+        spts = pts[order]
+        sval = valid[order]
+        sorig = order.astype(jnp.int32)
+        scell = pcell[order]
+
+        counts = jnp.zeros((n_cells + 1,), jnp.int32).at[scell].add(1)
+        cell_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+        )  # (n_cells + 2,); cell_start[c] = first sorted row of cell c
 
     # pad sorted arrays to a block multiple
     n_pad = (-N) % block

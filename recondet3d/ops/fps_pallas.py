@@ -261,6 +261,7 @@ def furthest_point_sample_pallas(
     block_rows: int | None = None,
     group: int = _GROUP,
     sel_per_step: int = _SEL_PER_STEP,
+    presorted=None,
 ) -> jnp.ndarray:
     """(N, 3) [+ (N,) mask] -> (num_samples,) int32 indices.
 
@@ -280,7 +281,13 @@ def furthest_point_sample_pallas(
     block counts (no-pre-reduce clouds, ~83 blocks) wider groups
     amortize the group scan better; callers there may prefer group=8.
     The selected SET is identical across block layouts at these shapes
-    (checked in the sweep); only exact-tie ordering could differ."""
+    (checked in the sweep); only exact-tie ordering could differ.
+
+    ``presorted``: an ``ops.cell_sort.CellSort`` over (points,
+    valid_mask) — skips the internal bucket sort so the structure can be
+    shared with the grid ball query (any spatially-coherent order works
+    for the AABB pruning; a fine-grid row-major order is at least as
+    coherent as the 16x16 default)."""
     N = points.shape[0]
     if block_rows is None:
         block_rows = _BLOCK_ROWS
@@ -289,24 +296,35 @@ def furthest_point_sample_pallas(
     rows = (N + pad) // _LANES
     n_blocks = rows // block_rows
 
-    pts_f = points.astype(jnp.float32)
     valid = (
         valid_mask.astype(bool) if valid_mask is not None
         else jnp.ones((N,), bool)
     )
 
-    # spatial bucket sort (invalid points to the back)
-    G = 16
-    lo = jnp.min(jnp.where(valid[:, None], pts_f[:, :2], jnp.inf), axis=0)
-    hi = jnp.max(jnp.where(valid[:, None], pts_f[:, :2], -jnp.inf), axis=0)
-    cell = jnp.maximum((hi - lo) / G, 1e-6)
-    rc = jnp.clip(
-        jnp.floor((pts_f[:, :2] - lo) / cell).astype(jnp.int32), 0, G - 1
-    )
-    pcell = jnp.where(valid, rc[:, 0] * G + rc[:, 1], G * G)
-    order = jnp.argsort(pcell, stable=True).astype(jnp.int32)
-    spts = pts_f[order]
-    svalid = valid[order]
+    if presorted is not None:
+        # CellSort (ops/cell_sort.py) or a bare (spts, sval, sorig) tuple
+        if hasattr(presorted, "spts"):
+            spts, svalid, order = (
+                presorted.spts, presorted.sval, presorted.sorig
+            )
+        else:
+            spts, svalid, order = presorted
+        spts = spts[:, :3].astype(jnp.float32)
+        svalid = svalid.astype(bool)
+    else:
+        # spatial bucket sort (invalid points to the back)
+        pts_f = points.astype(jnp.float32)
+        G = 16
+        lo = jnp.min(jnp.where(valid[:, None], pts_f[:, :2], jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(valid[:, None], pts_f[:, :2], -jnp.inf), axis=0)
+        cell = jnp.maximum((hi - lo) / G, 1e-6)
+        rc = jnp.clip(
+            jnp.floor((pts_f[:, :2] - lo) / cell).astype(jnp.int32), 0, G - 1
+        )
+        pcell = jnp.where(valid, rc[:, 0] * G + rc[:, 1], G * G)
+        order = jnp.argsort(pcell, stable=True).astype(jnp.int32)
+        spts = pts_f[order]
+        svalid = valid[order]
 
     # first valid point in ORIGINAL order -> its sorted position
     first_orig = jnp.argmax(valid).astype(jnp.int32)

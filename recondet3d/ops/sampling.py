@@ -61,6 +61,7 @@ def furthest_point_sample(
     num_samples: int,
     valid_mask: jnp.ndarray | None = None,
     impl: str = "auto",
+    presorted=None,
 ) -> jnp.ndarray:
     """FPS over a single point set.
 
@@ -70,6 +71,9 @@ def furthest_point_sample(
         valid_mask: optional (N,) bool; invalid points are never selected.
         impl: 'auto' (Pallas kernel on TPU — ~60x faster at production
             sizes), 'pallas', or 'xla'.
+        presorted: optional ``ops.cell_sort.CellSort`` over (points,
+            valid_mask); lets the Pallas kernel skip its own spatial sort
+            (ignored by the XLA impl, which needs no sort).
 
     Returns:
         (K,) int32 indices. Index 0 of the valid set is always selected first
@@ -81,12 +85,15 @@ def furthest_point_sample(
     points = jax.lax.stop_gradient(points)
     if valid_mask is not None:
         valid_mask = jax.lax.stop_gradient(valid_mask)
+    if presorted is not None:
+        presorted = jax.lax.stop_gradient(presorted)
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from recondet3d.ops.fps_pallas import furthest_point_sample_pallas
 
-        return furthest_point_sample_pallas(points, num_samples, valid_mask)
+        return furthest_point_sample_pallas(points, num_samples, valid_mask,
+                                            presorted=presorted)
     return furthest_point_sample_xla(points, num_samples, valid_mask)
 
 

@@ -70,7 +70,8 @@ def main():
     import itertools
     combos = list(itertools.product((64, 128), (256, 512), (2048, 8192)))
     combos += [(96, 256, 4096), (128, 256, 4096), (128, 512, 4096),
-               (160, 512, 2048), (64, 128, 8192)]
+               (160, 512, 2048), (64, 128, 8192), (128, 128, 2048),
+               (96, 128, 4096)]
     for grid_dim, chunk, block in combos:
             if True:
                 f = jax.jit(lambda p, a, m, g=grid_dim, c=chunk, b=block:

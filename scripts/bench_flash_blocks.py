@@ -69,7 +69,7 @@ def bwd_sweep(iters, repeats):
                                          repeats=repeats, iters=iters)
             except Exception as e:
                 print(f"bq_bwd={bq:5d} bk_bwd={bk:5d}  FAILED "
-                      f"{type(e).__name__}", flush=True)
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
                 continue
             out = np.asarray(f(q, k, v)[0], np.float32)
             if ref is None:

@@ -17,10 +17,15 @@ pipe). Static prefixes compile in minutes each, print incrementally,
 and land in the on-disk compile cache; untaken stages are simply absent
 from the program instead of zero-filled cond branches.
 
-Two runtime modes (again no recompile): ``inject=1`` swaps the unprojected
-cloud for a resample of the reference pipeline's own output distribution
-(assets/bench_sample/reference_points.npz) right after unprojection — the
-production point load — while keeping the DA3 data dependency alive.
+Modes (PROFILE_PREFIX_MODE, comma list; default "anchored"):
+  anchored — EXACTLY the bench headline composition: DA3 runs live, the
+             point stages consume the z-buffered anchor depth through the
+             same gated denormal coupling bench.py uses. Prefix deltas
+             here ARE the in-context costs of the 377 ms headline.
+  raw      — the point stages consume DA3's own (random-weight) depth.
+  inject   — legacy: swaps the unprojected cloud for a resample of
+             reference_points.npz AFTER unprojection (847k all-valid
+             points — a denser load than the anchored z-buffer).
 
 Usage: python scripts/profile_prefix.py [iters]
 """
@@ -69,6 +74,15 @@ def main():
     )
     jax.block_until_ready(variables)
 
+    if os.environ.get("RECONDET3D_BENCH_BF16_PARAMS", "1") != "0":
+        # bench.py's serving-time storage cast (result-identical)
+        from recondet3d.api.weights import cast_trunk_params_bf16
+
+        variables = jax.jit(
+            lambda v: dict(v, params=cast_trunk_params_bf16(v["params"]))
+        )(variables)
+        jax.block_until_ready(variables)
+
     ref_pts = jnp.asarray(
         np.load(os.path.join(REPO, "assets", "bench_sample",
                              "reference_points.npz"))["points"]
@@ -97,7 +111,19 @@ def main():
     bk = model.reconstruction_backbone
     refinement = bk.refinement
 
-    def program(img_, c2l_, ref_pts, *, upto, inject):
+    # anchor depth at the model's processed resolution (host-side, untimed)
+    from recondet3d.data.input_processor import compute_process_shape
+
+    _, _, rh, rw = compute_process_shape(bench.IMG_H, bench.IMG_W,
+                                         bk.process_res)
+    anchor_np = bench.make_anchor_depth(c2l, rh, rw)
+    anchor_j = None if anchor_np is None else jnp.asarray(anchor_np)
+
+    def program(dv, rv, img_, c2l_, ref_pts, anchor_d, *, upto, mode):
+        # dv/rv (the DA3 / refinement variable trees) MUST be jit ARGUMENTS:
+        # closed-over they lower as 6.1 GB of captured constants at the
+        # nested-giant preset, which the remote-compile service rejects
+        inject = mode == "inject"
         def gated(k, fn):
             if upto >= k:
                 return fn()
@@ -111,7 +137,7 @@ def main():
 
         def run_da3():
             out = bk.da3.apply(
-                da3_vars, x, use_ray_pose=bk.use_ray_pose,
+                dv, x, use_ray_pose=bk.use_ray_pose,
                 ref_view_strategy=bk.ref_view_strategy,
             )
             return (out["depth"].astype(jnp.float32),
@@ -119,6 +145,12 @@ def main():
 
         depth, intr = gated(1, run_da3)
         acc += depth[0, 0, 0, 0] + intr[0, 0, 0, 0]
+        if mode == "anchored":
+            # the bench's gated denormal coupling: DA3 stays load-bearing,
+            # anchor holes (0 = invalid) stay exactly zero
+            depth = anchor_d + jnp.where(
+                anchor_d > 0, depth * jnp.float32(1e-38), 0.0
+            )
 
         def run_unproj():
             pts_cam = depth_to_points_cam(depth, intr)
@@ -161,20 +193,25 @@ def main():
             return ball_query_downsample(
                 p1, m1, anchor_points=bk.bq_anchor_points,
                 max_radius=bk.bq_max_radius, sample_num=bk.bq_sample_num,
-                compact=True,
+                compact=True, selection=bk.bq_selection,
+                grid_dim=bk.bq_grid_dim, grid_block=bk.bq_grid_block,
+                share_sort=bk.bq_share_sort,
             )
 
         p2, m2 = gated(4, run_bq)
         acc += jnp.sum(p2[:128, 0]) + jnp.sum(m2)
 
         def run_fps():
-            return fps_downsample(p2, m2, num_points=bk.num_points)
+            return fps_downsample(
+                p2, m2, num_points=bk.num_points,
+                input_spatially_sorted=bk.bq_share_sort,
+            )
 
         p3, m3 = gated(5, run_fps)
         acc += jnp.sum(p3[:128, 0]) + jnp.sum(m3)
 
         def run_refine():
-            _, _, aux = refinement.apply(ref_vars, p3[None], m3[None])
+            _, _, aux = refinement.apply(rv, p3[None], m3[None])
             return aux["occupancy_logits"].astype(jnp.float32)
 
         logits = gated(6, run_refine)
@@ -184,18 +221,21 @@ def main():
         "input_processor", "da3_forward", "unproject(+inject)",
         "prereduce/rangefilter", "ball_query", "fps", "refinement",
     ]
-    only = os.environ.get("PROFILE_PREFIX_INJECT")  # "1"/"0" -> one mode
-    modes = (1, 0) if only is None else (int(only),)
-    for inject in modes:
-        print(f"point injection: "
-              f"{'ON (reference distribution)' if inject else 'off'}",
-              flush=True)
+    legacy = os.environ.get("PROFILE_PREFIX_INJECT")  # legacy "1"/"0"
+    if legacy is not None:
+        modes = ["inject" if int(legacy) else "raw"]
+    else:
+        modes = os.environ.get("PROFILE_PREFIX_MODE", "anchored").split(",")
+    for mode in modes:
+        if mode == "anchored" and anchor_j is None:
+            print("anchor assets unavailable -> raw", flush=True)
+            mode = "raw"
+        print(f"mode: {mode}", flush=True)
         prev = 0.0
         for k, name in enumerate(names):
-            fn = jax.jit(
-                functools.partial(program, upto=k, inject=bool(inject))
-            )
-            t = timeit(fn, img_j, c2l_j, ref_pts, iters=iters)
+            fn = jax.jit(functools.partial(program, upto=k, mode=mode))
+            t = timeit(fn, da3_vars, ref_vars, img_j, c2l_j, ref_pts,
+                       anchor_j, iters=iters)
             print(f"prefix<={name:22s} {t:8.1f} ms   (+{t - prev:7.1f} ms)",
                   flush=True)
             prev = t

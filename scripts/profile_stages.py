@@ -56,6 +56,15 @@ def main():
     )
     jax.block_until_ready(variables)
 
+    if os.environ.get("RECONDET3D_BENCH_BF16_PARAMS", "1") != "0":
+        # bench.py's serving-time storage cast (result-identical)
+        from recondet3d.api.weights import cast_trunk_params_bf16
+
+        variables = jax.jit(
+            lambda v: dict(v, params=cast_trunk_params_bf16(v["params"]))
+        )(variables)
+        jax.block_until_ready(variables)
+
     bk = model.reconstruction_backbone
 
     from recondet3d.data.input_processor import process_tensor_batch
@@ -130,14 +139,19 @@ def main():
         lambda p, m: ball_query_downsample(
             p, m, anchor_points=bk.bq_anchor_points,
             max_radius=bk.bq_max_radius, sample_num=bk.bq_sample_num,
-            compact=True,
+            compact=True, selection=bk.bq_selection,
+            grid_dim=bk.bq_grid_dim, grid_block=bk.bq_grid_block,
+            share_sort=bk.bq_share_sort,
         )
     )
     p1, m1 = timeit("ball_query", f_bq, p0, m0, iters=iters)
 
     # stage 5: FPS
     f_fps = jax.jit(
-        lambda p, m: fps_downsample(p, m, num_points=bk.num_points)
+        lambda p, m: fps_downsample(
+            p, m, num_points=bk.num_points,
+            input_spatially_sorted=bk.bq_share_sort,
+        )
     )
     p2, m2 = timeit("fps", f_fps, p1, m1, iters=iters)
 

@@ -458,3 +458,33 @@ def test_vitg_block_swiglufused_parity():
     np.testing.assert_allclose(
         np.asarray(jout), tout.numpy(), atol=2e-4, rtol=2e-3,
     )
+
+
+def test_cast_trunk_params_bf16_exact():
+    """cast_trunk_params_bf16 (the serving-time storage cast) must be
+    RESULT-IDENTICAL: every cast leaf is consumed through the exact same
+    bf16 cast inside its module, so pre-casting only removes per-step
+    HBM traffic, never changes a bit."""
+    from recondet3d.api.weights import cast_trunk_params_bf16
+
+    net = build_da3("da3-small", dtype=jnp.bfloat16, attn_impl="xla")
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 4, 56, 56, 3)).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), x)
+
+    out0 = net.apply(variables, x)
+    cast_vars = dict(variables,
+                     params=cast_trunk_params_bf16(variables["params"]))
+    # the cast must actually hit the trunk (not be a no-op selector)
+    n_cast = sum(
+        int(v.dtype == jnp.bfloat16)
+        for v in jax.tree_util.tree_leaves(cast_vars["params"])
+    )
+    assert n_cast > 20, f"only {n_cast} leaves cast - selector broken?"
+    out1 = net.apply(cast_vars, x)
+    for k in out0:
+        if hasattr(out0[k], "dtype"):
+            np.testing.assert_array_equal(
+                np.asarray(out0[k], np.float32), np.asarray(out1[k], np.float32),
+                err_msg=f"output {k} changed under the storage cast",
+            )

@@ -195,3 +195,85 @@ def test_ball_query_any_selection():
     ka = np.array([len(set(r)) for r in a[found_a]])
     kb = np.array([len(set(r)) for r in b[found_b]])
     np.testing.assert_array_equal(ka, kb)
+
+
+def test_ball_query_shared_structure_identical():
+    """ball_query(structure=cell_sort(...)) must be bit-identical to the
+    internal-sort path: 'first' selection scores by ORIGINAL index, which
+    is independent of the scan order, and the structure's points-extent
+    grid preserves the +-1-band exactness (cell >= radius, centers are
+    points). See ops/cell_sort.py."""
+    import jax.numpy as jnp
+
+    from recondet3d.ops.ball_query import ball_query
+    from recondet3d.ops.cell_sort import cell_sort
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-40, 40, (70000, 3)).astype(np.float32)
+    pts[:30000] = rng.normal(0, 6.0, (30000, 3)).astype(np.float32)
+    valid = rng.random(70000) < 0.7
+    centers = pts[valid][:800]
+
+    p, v, c = jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(centers)
+    base = np.asarray(ball_query(0.0, 0.5, 16, p, c, points_valid=v,
+                                 impl="grid"))
+    cs = cell_sort(p, v, grid_dim=128, min_cell=0.5)
+    shared = np.asarray(ball_query(0.0, 0.5, 16, p, c, points_valid=v,
+                                   impl="grid", structure=cs))
+    np.testing.assert_array_equal(base, shared)
+
+
+def test_ball_query_downsample_share_sort_same_set():
+    """share_sort=True (one cell-sort reused by FPS anchors, the query,
+    and the spatial-order compaction) must select the SAME point set as
+    the independent-sorts path — only row order may differ."""
+    import jax.numpy as jnp
+
+    from recondet3d.data.pipelines.point_pipeline import (
+        ball_query_downsample,
+        fps_downsample,
+    )
+
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-30, 30, (40000, 3)).astype(np.float32)
+    valid = rng.random(40000) < 0.8
+    p, v = jnp.asarray(pts), jnp.asarray(valid)
+
+    p0, m0 = ball_query_downsample(p, v, anchor_points=1500, compact=True)
+    p1, m1 = ball_query_downsample(p, v, anchor_points=1500, compact=True,
+                                   grid_dim=128, share_sort=True)
+    s0 = {tuple(r) for r in np.asarray(p0)[np.asarray(m0)].tolist()}
+    s1 = {tuple(r) for r in np.asarray(p1)[np.asarray(m1)].tolist()}
+    assert s0 == s1 and len(s0) > 0
+
+    # the spatially-sorted output drives FPS with its sort skipped: the
+    # XLA impl (CPU) is order-exact, so results must match the unsorted
+    # call's SET at equal K
+    q0, n0 = fps_downsample(p0, m0, num_points=1024)
+    q1, n1 = fps_downsample(p1, m1, num_points=1024,
+                            input_spatially_sorted=True)
+    f0 = {tuple(r) for r in np.asarray(q0)[np.asarray(n0)].tolist()}
+    f1 = {tuple(r) for r in np.asarray(q1)[np.asarray(n1)].tolist()}
+    assert f0 == f1
+
+
+def test_fps_pallas_presorted_same_set():
+    """The Pallas kernel with a caller-provided presorted view must select
+    the same SET as its internal-sort path (tie-break order may differ)."""
+    import jax.numpy as jnp
+
+    from recondet3d.ops.fps_pallas import furthest_point_sample_pallas
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(-20, 20, (4096, 3)).astype(np.float32)
+    valid = rng.random(4096) < 0.9
+    p, v = jnp.asarray(pts), jnp.asarray(valid)
+
+    i0 = furthest_point_sample_pallas(p, 128, v, interpret=True)
+    pres = (p.astype(jnp.float32), v,
+            jnp.arange(4096, dtype=jnp.int32))
+    i1 = furthest_point_sample_pallas(p, 128, v, interpret=True,
+                                      presorted=pres)
+    s0 = {tuple(r) for r in pts[np.asarray(i0)].tolist()}
+    s1 = {tuple(r) for r in pts[np.asarray(i1)].tolist()}
+    assert s0 == s1
