@@ -243,7 +243,13 @@ def _flash_attention_bwd_impl(q, k, v, kv_len, out, lse, g, scale, block_q,
     # delta_i = sum_d dO_id * O_id (fp32), padded rows are zero
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, n_pad))).reshape(B * H, Np)
-    lse_p = lse.reshape(B * H, Np)  # forward already emitted padded rows
+    # lse arrives at the FORWARD's padded length (its block_q choice, not
+    # ours) — slice to the real rows and re-pad to THIS kernel's multiple.
+    # Zero-padding is safe: the extra rows' q and dO are zero, so p=exp(-0)
+    # rows meet dp=delta=0 and contribute exact zeros to dK/dV.
+    lse_p = jnp.pad(
+        lse[:, :, :N], ((0, 0), (0, 0), (0, n_pad))
+    ).reshape(B * H, Np)
     lse_b = jnp.broadcast_to(lse_p[..., None], (B * H, Np, _STAT_LANES))
     delta_b = jnp.broadcast_to(delta[..., None], (B * H, Np, _STAT_LANES))
 
@@ -346,6 +352,18 @@ def _auto_blocks(n_q: int, n_kv: int):
     return bq, bk
 
 
+def _auto_blocks_bwd(n_q: int, n_kv: int):
+    """Measured backward defaults (scripts/bench_flash_blocks.py --bwd,
+    v5e, vitl fine-tune shapes): bq_bwd=256 (the 512 default's 721->1024
+    re-pad is pure waste), and a single-KV-block dK/dV grid wins where
+    the fp32 logits tile fits (global N=4326: 4.43 ms vs 6.83 at bk=512,
+    30.8% of bf16 peak fwd+bwd)."""
+    bq = 256
+    mp = max(128, -(-n_kv // 128) * 128)
+    bk = mp if mp <= _FULL_KV_MAX else 512
+    return bq, bk
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -363,9 +381,8 @@ def flash_attention(
     impl: 'pallas' | 'xla' | 'auto' (pallas on TPU, xla elsewhere).
     block_q/block_k default to the measured shape-adaptive choice
     (``_auto_blocks``); block_q_bwd/block_k_bwd control the backward
-    kernels separately (default 512/512 — wide KV tiles that help the
-    forward's single pass are not obviously right for the dK/dV kernel's
-    per-KV-block grid).
+    kernels separately (default ``_auto_blocks_bwd`` — measured bq=256 +
+    single-KV-block dK/dV where the logits tile fits).
     """
     d = q.shape[-1]
     scale = d ** -0.5 if scale is None else scale
@@ -379,8 +396,9 @@ def flash_attention(
     block_k = auto_k if block_k is None else block_k
     bq = min(block_q, max(128, 1 << (q.shape[2] - 1).bit_length())) if q.shape[2] < block_q else block_q
     bk = min(block_k, max(128, 1 << (k.shape[2] - 1).bit_length())) if k.shape[2] < block_k else block_k
-    bq_b = 512 if block_q_bwd is None else block_q_bwd
-    bk_b = 512 if block_k_bwd is None else block_k_bwd
+    auto_qb, auto_kb = _auto_blocks_bwd(q.shape[2], k.shape[2])
+    bq_b = auto_qb if block_q_bwd is None else block_q_bwd
+    bk_b = auto_kb if block_k_bwd is None else block_k_bwd
     bq_b = min(bq_b, max(128, 1 << (q.shape[2] - 1).bit_length())) if q.shape[2] < bq_b else bq_b
     bk_b = min(bk_b, max(128, 1 << (k.shape[2] - 1).bit_length())) if k.shape[2] < bk_b else bk_b
     return _flash_attention(q, k, v, kv_len, scale, bq, bk, interpret,

@@ -92,6 +92,34 @@ def test_flash_grad_kv_len_and_padding():
     assert np.all(dk[0, :, 150:] == 0) and np.all(dv[0, :, 150:] == 0)
 
 
+def test_flash_grad_fwd_bwd_block_mismatch():
+    """The backward must accept ANY (block_q_bwd, block_k_bwd), not just
+    ones whose padded length matches the forward's: lse arrives at the
+    FORWARD's padded length and is re-padded inside the backward.
+    Regression: with fwd block_q=256 (pads 260->512) and bwd blocks 128
+    (pads 260->384) the old code raised at the lse reshape — the exact
+    failure mode of the post-_auto_blocks default training path."""
+    n = 260
+    q = _rand((1, 2, n, 64), 15)
+    k = _rand((1, 2, n, 64), 16)
+    v = _rand((1, 2, n, 64), 17)
+
+    def loss(bqb, bkb):
+        def f(q, k, v):
+            out = flash_attention(q, k, v, impl="pallas", block_q=256,
+                                  block_q_bwd=bqb, block_k_bwd=bkb)
+            return jnp.sum(out ** 2)
+        return f
+
+    g_mismatch = jax.grad(loss(128, 128), argnums=(0, 1, 2))(q, k, v)
+    g_match = jax.grad(loss(256, 256), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_mismatch, g_match, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5,
+            err_msg=f"d{name}",
+        )
+
+
 def test_rope_tables_match_rope_2d():
     """Precomputed-table rope (the per-block fast path in the ViT) is
     bit-for-bit the same math as the closed-form rope_2d."""
