@@ -81,7 +81,15 @@ def main():
         gt_points=jnp.asarray(gt),
     )
 
-    trainer = Trainer(model=model, total_steps=1000, mesh=make_mesh(),
+    # unfrozen runs use the standard fine-tune lr (1e-4): the reference
+    # only ever fine-tunes from PRETRAINED weights, and this harness's
+    # random-init ViT diverges to nan within ~7 steps under the reference
+    # config's cyclic ramp toward 1e-2 (measured round 4; the flash
+    # backward itself is finite at these shapes up to 30-sigma inputs —
+    # see the nan probe note in docs/performance.md). Timing is
+    # lr-independent; the lower lr just keeps the recorded loss finite.
+    trainer = Trainer(model=model, total_steps=1000,
+                      lr=1e-4 if unfrozen else 1e-3, mesh=make_mesh(),
                       frozen_patterns=() if unfrozen else ("da3",))
     t0 = time.time()
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
@@ -115,7 +123,7 @@ def main():
         state, metrics = step(state, sb)
         loss = float(metrics["loss"])  # device_get sync each step
         losses.append(loss)
-        if iters > 20 and (it % 10 == 0 or it == iters - 1):
+        if iters <= 20 or it % 10 == 0 or it == iters - 1:
             print(f"  step {it}: loss={loss:.4f} "
                   f"grad_norm={float(metrics['grad_norm']):.4f}",
                   file=sys.stderr, flush=True)
