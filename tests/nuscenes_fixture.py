@@ -13,7 +13,8 @@ def _quat_about_z(theta):
 
 
 def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
-                 n_cams: int = 2, seed: int = 0, structured: bool = False):
+                 n_cams: int = 2, seed: int = 0, structured: bool = False,
+                 all_classes: bool = False):
     """Write a synthetic v1.0-mini tree.
 
     ``structured=True`` swaps the uniform-noise geometry for a scene with
@@ -21,6 +22,12 @@ def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
     lidar-frame positions inside ±8 m, and the lidar bins contain a ground
     plane plus dense point clusters inside each box — so occupancy has a
     real signal and a detection head can be trained to nonzero mAP on it.
+
+    ``all_classes=True`` adds one GT object of each remaining detection
+    class so every one of the 10 nuScenes classes carries GT — required by
+    eval tests that assert a perfect mAP, because the devkit-exact
+    evaluator scores zero-GT classes as AP 0 (devkit ``no_predictions``
+    semantics; reference: mmdet3d nuscenes_dataset.py:443-489 -> devkit).
     """
     rng = np.random.default_rng(seed)
     version = "v1.0-mini"
@@ -41,9 +48,13 @@ def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
         "sample_data", "sample_annotation", "map",
     ]}
 
-    tables["category"].append(dict(token="cat-car", name="vehicle.car", description=""))
-    tables["category"].append(dict(token="cat-ped", name="human.pedestrian.adult", description=""))
-    tables["category"].append(dict(token="cat-tc", name="movable_object.trafficcone", description=""))
+    category_names = [
+        "vehicle.car", "human.pedestrian.adult", "movable_object.trafficcone",
+    ] + ([n for n, _ in EXTRA_CLASS_OBJS] if all_classes else [])
+    cat_tok = {}
+    for ci, name in enumerate(category_names):
+        cat_tok[name] = f"cat-{ci}"
+        tables["category"].append(dict(token=f"cat-{ci}", name=name, description=""))
     tables["log"].append(dict(token="log-0", logfile="", vehicle="v", date_captured="", location="x"))
 
     tables["sensor"].append(dict(token="sens-lidar", channel="LIDAR_TOP", modality="lidar"))
@@ -129,9 +140,9 @@ def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
             else:
                 objs = [("vehicle.car", [2.0, 4.5, 1.6]),
                         ("human.pedestrian.adult", [0.6, 0.6, 1.8])]
-            cat_tok = {"vehicle.car": "cat-car",
-                       "human.pedestrian.adult": "cat-ped",
-                       "movable_object.trafficcone": "cat-tc"}
+            if all_classes:
+                objs = objs + [(n, list(s)) for n, s in EXTRA_CLASS_OBJS] + [
+                    ("movable_object.trafficcone", [0.4, 0.4, 0.8])]
             for ai, (cat, size) in enumerate(objs):
                 ann_tok = f"ann-{tok}-{ai}"
                 inst_tok = f"inst-{si}-{ai}"
@@ -154,6 +165,13 @@ def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
                     trans = (np.asarray(ego_t) + R @ ego_off).tolist()
                     rot = _quat_about_z(yaw + th)
                     npts = 100
+                elif all_classes:
+                    # keep every object inside the devkit per-class eval
+                    # range (30 m for barrier/traffic_cone): <= ~25 m out
+                    trans = [ego_t[0] + 8 + (ai % 5) * 4,
+                             ego_t[1] + 2 + (ai // 5) * 3, 1.0]
+                    rot = _quat_about_z(0.3 * ai)
+                    npts = 10
                 else:
                     trans = [ego_t[0] + 10 + ai * 5, ego_t[1] + 2, 1.0]
                     rot = _quat_about_z(0.3 * ai)
@@ -178,6 +196,20 @@ def make_fixture(root: str, n_scenes: int = 2, samples_per_scene: int = 2,
         with open(os.path.join(tdir, f"{name}.json"), "w") as f:
             json.dump(rows, f)
     return root
+
+
+# (raw category name, size) of one GT object per detection class not
+# already covered by the default car+pedestrian pair — with the trafficcone
+# appended in make_fixture, all_classes=True yields GT in all 10 classes
+EXTRA_CLASS_OBJS = [
+    ("vehicle.truck", [2.5, 7.0, 2.8]),
+    ("vehicle.construction", [2.8, 6.5, 3.2]),
+    ("vehicle.bus.rigid", [2.9, 11.0, 3.4]),
+    ("vehicle.trailer", [2.9, 12.0, 3.8]),
+    ("movable_object.barrier", [2.5, 0.5, 1.0]),
+    ("vehicle.motorcycle", [0.8, 2.1, 1.5]),
+    ("vehicle.bicycle", [0.6, 1.7, 1.3]),
+]
 
 
 # lidar-frame (cx, cy, cz, yaw, size[w,l,h], class) of the 8 structured

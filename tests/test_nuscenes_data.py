@@ -105,9 +105,22 @@ def test_dataset_get_data_info(nusc_root):
     assert set(ann["gt_labels_3d"]) <= {0, 8}  # car, pedestrian
 
 
-def test_dataset_evaluate_gt_gives_perfect_map(nusc_root):
+@pytest.fixture(scope="module")
+def nusc_root_allcls(tmp_path_factory):
+    """Fixture variant with GT in all 10 detection classes: the
+    devkit-exact evaluator scores zero-GT classes as AP 0 (devkit
+    ``no_predictions`` semantics, evaluate_nuscenes docstring), so a
+    perfect-mAP assertion needs every class to carry GT."""
+    root = str(tmp_path_factory.mktemp("nusc_allcls"))
+    make_fixture(root, all_classes=True)
+    create_nuscenes_infos(root, info_prefix="nuscenes_mini",
+                          val_scene_names=["scene-0001"])
+    return root
+
+
+def test_dataset_evaluate_gt_gives_perfect_map(nusc_root_allcls):
     ds = NuScenesDataset(
-        ann_file=os.path.join(nusc_root, "nuscenes_mini_infos_train.pkl"),
+        ann_file=os.path.join(nusc_root_allcls, "nuscenes_mini_infos_train.pkl"),
     )
     results = []
     for i in range(len(ds)):
@@ -119,7 +132,26 @@ def test_dataset_evaluate_gt_gives_perfect_map(nusc_root):
         ))
     m = ds.evaluate(results)
     assert m["pts_bbox_NuScenes/mAP"] > 0.95
-    assert m["pts_bbox_NuScenes/NDS"] > 0.95
+    # attr_err is 1.0 by devkit convention (cummean of all-NaN) because the
+    # info pkl carries no GT attributes, so a perfect detector caps at
+    # NDS = (5*1 + 4*1 + 0)/10 = 0.9; all geometric TP errors must be 0
+    assert m["pts_bbox_NuScenes/NDS"] > 0.89
+    assert m["pts_bbox_NuScenes/attr_err"] == 1.0
+    for k in ("trans_err", "scale_err", "orient_err", "vel_err"):
+        assert m[f"pts_bbox_NuScenes/{k}"] < 1e-9
+
+    # zero-GT classes score AP 0 under devkit semantics: dropping one
+    # class's predictions on a fixture where it has GT costs exactly
+    # that class's AP (sanity-pin the per-class accounting)
+    partial = [
+        {**r, "boxes_3d": r["boxes_3d"][r["labels_3d"] != 0],
+         "scores_3d": r["scores_3d"][r["labels_3d"] != 0],
+         "labels_3d": r["labels_3d"][r["labels_3d"] != 0]}
+        for r in results
+    ]
+    mp = ds.evaluate(partial)
+    assert mp["pts_bbox_NuScenes/mAP"] < m["pts_bbox_NuScenes/mAP"]
+    assert mp["pts_bbox_NuScenes/mAP"] > 0.85  # 9/10 classes still perfect
 
     # empty predictions -> zero mAP
     empty = [dict(boxes_3d=np.zeros((0, 9)), scores_3d=np.zeros(0),
@@ -183,7 +215,9 @@ def test_custom_eval_set_restricts_scoring(tmp_path):
     import json
 
     root = str(tmp_path / "nusc")
-    make_fixture(root)
+    # all_classes: the devkit-exact evaluator scores zero-GT classes AP 0,
+    # so the >0.99 assertion needs GT in every class
+    make_fixture(root, all_classes=True)
     create_nuscenes_infos(root, "ces", version="v1.0-mini")
     ann = os.path.join(root, "ces_infos_train.pkl")
     ds = NuScenesDataset(ann_file=ann, data_root=root)
