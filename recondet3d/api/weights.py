@@ -181,6 +181,13 @@ def cast_trunk_params_bf16(params):
     """Serving-time storage cast: bf16 copies of exactly the DA3 ViT-trunk
     parameters the modules consume in bf16 anyway.
 
+    PRECONDITION: the model must have been built with ``dtype=bfloat16``.
+    Only then is the cast result-identical — each listed leaf is re-cast
+    to bf16 by its module on every forward, so pre-casting is a no-op.
+    Applied to an f32-configured model it silently LOSES precision: e.g.
+    LayerScale applies ``gamma.astype(x.dtype)`` with x in f32, so a
+    pre-cast gamma stays at bf16 resolution instead of full f32.
+
     Every trunk Dense/Conv (``nn.Dense(dtype=bf16)``) casts its f32 kernel
     and bias with ``jnp.asarray(w, bf16)`` on EVERY forward — f32 storage
     therefore costs double weight-read HBM bandwidth per step for bits the

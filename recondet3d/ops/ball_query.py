@@ -85,6 +85,20 @@ def ball_query(
     sort/boundary build so one structure can be shared with the FPS
     kernel (see cell_sort.py; its grid_dim overrides ``grid_dim`` here,
     and its ``min_cell`` must be >= max_radius)."""
+    if structure is not None:
+        # a provided structure is only consumed by the grid impl; letting
+        # the size heuristic route to 'scan' would silently discard it
+        # (wasted caller work), so force the grid path
+        if impl == "scan":
+            raise ValueError("structure= requires the grid impl")
+        impl = "grid"
+        mc = getattr(structure, "min_cell", None)
+        if isinstance(mc, (int, float)) and mc > 0 and mc < max_radius:
+            raise ValueError(
+                f"CellSort built with min_cell={mc} < max_radius="
+                f"{max_radius}: the +-1-cell band scan would miss "
+                "in-radius points (cell_sort.py correctness bound)"
+            )
     if impl == "auto":
         impl = "grid" if points.shape[0] >= 65536 else "scan"
     if impl == "grid":

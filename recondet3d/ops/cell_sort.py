@@ -54,6 +54,13 @@ class CellSort(NamedTuple):
     cell_start: jnp.ndarray  # (G*G + 2,) int32: first sorted row per cell
     lo: jnp.ndarray          # (2,) f32 grid origin (xy)
     cell: jnp.ndarray        # (2,) f32 cell size (xy)
+    # static python float: the min_cell the structure was built with. A
+    # consumer querying radius r needs min_cell >= r for the +-1-cell
+    # correctness bound — ball_query raises at trace time when it can see
+    # this value (i.e. whenever the structure was built in the same trace
+    # or outside jit; a jit-argument structure lifts it to a tracer and
+    # the check is skipped).
+    min_cell: float = 0.0
 
     @property
     def grid_dim(self) -> int:
@@ -98,4 +105,5 @@ def cell_sort(
     cell_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
     )
-    return CellSort(spts, sval, order, scell, cell_start, lo, cell)
+    return CellSort(spts, sval, order, scell, cell_start, lo, cell,
+                    float(min_cell))

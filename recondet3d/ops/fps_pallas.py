@@ -287,7 +287,15 @@ def furthest_point_sample_pallas(
     valid_mask) — skips the internal bucket sort so the structure can be
     shared with the grid ball query (any spatially-coherent order works
     for the AABB pruning; a fine-grid row-major order is at least as
-    coherent as the 16x16 default)."""
+    coherent as the 16x16 default). A bare ``(spts, sval, sorig)`` tuple
+    is also accepted, with the same contract as the CellSort fields:
+    ``spts`` a permutation of ``points[:, :3]`` as f32 (same row count),
+    ``sval`` the validity mask in the same permuted order with every
+    invalid row AFTER the valid ones, and ``sorig`` int32 mapping sorted
+    position -> original index covering every index exactly once. An
+    inconsistent tuple yields silently wrong indices (the seed lookup
+    ``argmax(order == first_orig)`` falls back to 0 when ``first_orig``
+    is absent from ``sorig``); shape consistency is asserted."""
     N = points.shape[0]
     if block_rows is None:
         block_rows = _BLOCK_ROWS
@@ -309,6 +317,10 @@ def furthest_point_sample_pallas(
             )
         else:
             spts, svalid, order = presorted
+        if spts.shape[0] != N:
+            raise ValueError(
+                f"presorted rows {spts.shape[0]} != points rows {N}"
+            )
         spts = spts[:, :3].astype(jnp.float32)
         svalid = svalid.astype(bool)
     else:
