@@ -165,3 +165,54 @@ def test_checkpoint_across_topologies(tmp_path):
         state2, hist = trainer_b.run(resharded, iter([b2]))
         assert int(state2.step) == 4
         assert np.isfinite(hist[0]["loss"])
+
+
+@pytest.mark.slow
+def test_two_process_mesh(tmp_path):
+    """Two OS processes join one jax.distributed job (CPU backend, 2
+    forced-host devices each), build a single global 4-device mesh, and
+    run one real Trainer step with the batch sharded across the process
+    boundary — the multi-host analog of the reference's torchrun/srun
+    launchers (tools/dist_train.sh, train_mmdet3d.py:199-206), with the
+    process group replaced by the global mesh + GSPMD collectives."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    # free port for the coordinator
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coordinator = f"127.0.0.1:{port}"
+
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    script = _os.path.join(repo, "scripts", "dist_smoke.py")
+    env = {k: v for k, v in _os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, script, coordinator, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"dist_smoke proc {pid}/2" in out, out
+        assert "global_devices=4" in out, out
+    # single-controller contract: both processes computed the same loss
+    losses = [o.split("loss=")[1].split()[0] for o in outs]
+    assert losses[0] == losses[1], outs
