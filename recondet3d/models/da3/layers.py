@@ -241,11 +241,19 @@ class Block(nn.Module):
     ln_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # rematerialize only the attention sub-path (QKV projections + flash
+    # forward recomputed on the backward; FFN activations stay saved) —
+    # the 'attn' remat policy of DinoViT
+    remat_attn: bool = False
 
     @nn.compact
     def __call__(self, x, pos=None, kv_len=None, rope_tabs=None):
         C = x.shape[-1]
-        h = Attention(
+        attn_cls = (
+            nn.remat(Attention, prevent_cse=True) if self.remat_attn
+            else Attention
+        )
+        h = attn_cls(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
             proj_bias=self.proj_bias,

@@ -20,6 +20,7 @@ TPU design notes:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Optional, Sequence, Tuple
 
@@ -161,9 +162,30 @@ class DinoViT(nn.Module):
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                 if self.remat_policy == "dots" else None
             )
-            block_cls = nn.remat(Block, prevent_cse=True, policy=policy)
+            rblock = nn.remat(Block, prevent_cse=True, policy=policy)
+            if self.remat_policy == "global":
+                # remat only the global-attention blocks: their flash
+                # working set spans all S*N tokens in one sequence, while
+                # the local blocks run at N tokens x (B*S) batch — saving
+                # the local activations costs the same HBM but removes
+                # their recompute from the backward
+                def block_cls_for(i):
+                    is_global = (
+                        self.alt_start != -1 and i >= self.alt_start
+                        and i % 2 == 1
+                    )
+                    return rblock if is_global else Block
+            elif self.remat_policy == "attn":
+                # attention-only: FFN + norm activations stay saved,
+                # QKV/flash recompute on the backward (Block.remat_attn)
+                def block_cls_for(i):
+                    return functools.partial(Block, remat_attn=True)
+            else:
+                def block_cls_for(i):
+                    return rblock
         else:
-            block_cls = Block
+            def block_cls_for(i):
+                return Block
 
         self.patch_embed = PatchEmbed(
             patch_size=self.patch_size, embed_dim=self.embed_dim, dtype=self.dtype
@@ -180,7 +202,7 @@ class DinoViT(nn.Module):
             "pos_embed", nn.initializers.zeros, (1, num_patches + 1, self.embed_dim), jnp.float32
         )
         self.blocks = [
-            block_cls(
+            block_cls_for(i)(
                 num_heads=self.num_heads,
                 mlp_ratio=4.0,
                 init_values=1.0,

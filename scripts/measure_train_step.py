@@ -19,7 +19,10 @@ through the whole ViT — this is the path that compiles and executes the
 two Pallas flash-attention backward kernels (ops/attention.py dQ and
 dK/dV) on the real chip at production token counts (721 local / 4326
 global, padded to the backward block grid; RECONDET3D_REMAT_POLICY
-selects the rematerialization policy, block|dots).
+selects the rematerialization policy: block (recompute whole blocks,
+min memory) | dots (save GEMM outputs) | global (remat only the
+global-attention blocks) | attn (save FFN/norm activations, recompute
+only the attention sub-path)).
 The trunk blocks are rematerialized when unfrozen (build_pipeline sets
 remat) or the live activations exceed v5e HBM.
 
