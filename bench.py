@@ -64,7 +64,12 @@ EXTRA = [
 ]
 SCHEDULE = os.environ.get("RECONDET3D_BENCH_SCHEDULE", "serial")
 COMPOSITION = os.environ.get("RECONDET3D_BENCH_COMPOSITION", "anchored")
-ITERS = int(os.environ.get("RECONDET3D_BENCH_ITERS", "5"))
+ITERS = int(os.environ.get("RECONDET3D_BENCH_ITERS", "10"))
+# scenes per jitted step: frames/s/chip is a THROUGHPUT metric and nothing
+# ties the step to one scene — batching amortizes the VPU-bound softmax,
+# per-stage bookkeeping, and the fixed dispatch cost, and fills the MXU on
+# the small heads. fps = BATCH * N_CAMS / step_time.
+BATCH = int(os.environ.get("RECONDET3D_BENCH_BATCH", "1"))
 BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
 
 N_CAMS = 6
@@ -119,11 +124,15 @@ def _real_assets():
     )
 
 
-def make_inputs(rng):
+def make_inputs(rng, batch=1):
     """Bench inputs: six real 900x1600 camera views (checked-in crops of the
     reference's example photos, assets/bench_sample/) on a nuScenes-like
     rig. Falls back to uniform noise if the assets are absent.
-    RECONDET3D_BENCH_NOISE=1 forces the old synthetic inputs."""
+    RECONDET3D_BENCH_NOISE=1 forces the old synthetic inputs.
+
+    ``batch`` > 1 replicates the scene with per-scene photometric jitter:
+    scenes must differ numerically or XLA CSEs the per-scene point
+    pipelines (the backbone unrolls them as a python loop) into one."""
     sample_dir = os.path.join(REPO, "assets", "bench_sample")
     use_real = _real_assets()
     if use_real:
@@ -136,19 +145,25 @@ def make_inputs(rng):
         img = np.stack(views)[None].astype(np.float32)
     else:
         img = rng.uniform(0, 255, (1, N_CAMS, IMG_H, IMG_W, 3)).astype(np.float32)
-    c2l = np.tile(np.eye(4, dtype=np.float32), (1, N_CAMS, 1, 1))
+    if batch > 1:
+        img = np.tile(img, (batch, 1, 1, 1, 1))
+        # ±2-level brightness jitter per scene: visually negligible but
+        # CSE-proof
+        img += rng.uniform(-2.0, 2.0, (batch, 1, 1, 1, 1)).astype(np.float32)
+        img = np.clip(img, 0, 255)
+    c2l = np.tile(np.eye(4, dtype=np.float32), (batch, N_CAMS, 1, 1))
     for i in range(N_CAMS):
         th = _RIG_YAWS[i] if use_real else 2 * np.pi * i / N_CAMS
         Rz = np.array(
             [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]],
             np.float32,
         )
-        c2l[0, i, :3, :3] = Rz @ _R_CAM2VEH if use_real else Rz
-        c2l[0, i, 3, :3] = [np.cos(th), np.sin(th), 1.5]
+        c2l[:, i, :3, :3] = Rz @ _R_CAM2VEH if use_real else Rz
+        c2l[:, i, 3, :3] = [np.cos(th), np.sin(th), 1.5]
     return img, c2l
 
 
-def make_anchor_depth(c2l, ph, pw):
+def make_anchor_depth(c2l, ph, pw, batch=1):
     """Z-buffer-render per-view depth maps from the reference's own output
     point cloud (assets/bench_sample/reference_points.npz), so the point
     pipeline consumes the realistic production depth distribution instead
@@ -185,6 +200,11 @@ def make_anchor_depth(c2l, ph, pw):
         np.minimum.at(flat, v[ok] * pw + u[ok], z[ok])
         d = flat.reshape(ph, pw)
         depth[0, n] = np.where(np.isfinite(d), d, 0.0)
+    if batch > 1:
+        depth = np.tile(depth, (batch, 1, 1, 1))
+        # per-scene cm-scale depth jitter (CSE-proof); holes stay exactly 0
+        jit = rng.normal(0, 0.01, (batch, 1, 1, 1)).astype(np.float32)
+        depth = np.where(depth > 0, np.maximum(depth + jit, 0.51), 0.0)
     return depth
 
 
@@ -218,7 +238,10 @@ def measure(preset, backend, iters, schedule=SCHEDULE, composition=COMPOSITION):
     dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
     model = build_pipeline(dtype, preset=preset)
     rng = np.random.default_rng(0)
-    img, c2l = make_inputs(rng)
+    # CPU baseline stays at B=1 (frames/s is comparable across batch
+    # sizes; a B>1 CPU compile of the nested model takes tens of minutes)
+    batch = BATCH if backend == "tpu" else 1
+    img, c2l = make_inputs(rng, batch=batch)
     use_real = _real_assets()
     img_j, c2l_j = jnp.asarray(img), jnp.asarray(c2l)
 
@@ -252,7 +275,7 @@ def measure(preset, backend, iters, schedule=SCHEDULE, composition=COMPOSITION):
     ph, pw = rh, rw
     anchor = None
     if composition in ("anchored", "both") and not ckpt:
-        anchor_np = make_anchor_depth(c2l, ph, pw)
+        anchor_np = make_anchor_depth(c2l, ph, pw, batch=batch)
         if anchor_np is not None:
             anchor = jnp.asarray(anchor_np)
     if anchor is None and composition != "raw":
@@ -376,8 +399,9 @@ def measure(preset, backend, iters, schedule=SCHEDULE, composition=COMPOSITION):
               f"min {dt*1e3:.0f} ms per step", file=sys.stderr)
 
     res = dict(
-        fps=N_CAMS / dt, ms_per_step=dt * 1e3, ms_mean=mean_dt * 1e3,
-        flops=flops,
+        fps=batch * N_CAMS / dt, ms_per_step=dt * 1e3, ms_mean=mean_dt * 1e3,
+        flops=flops, batch=batch,
+        per_iter_ms=[round(t / reps * 1e3, 1) for t in ts],
         composition="anchored" if anchor_arg is not None else "raw",
         schedule=schedule,
     )
@@ -395,7 +419,7 @@ def measure(preset, backend, iters, schedule=SCHEDULE, composition=COMPOSITION):
             out = fwd(*args2)
             sync(out)
             ts2.append(time.time() - t0)
-        res["raw_fps"] = N_CAMS / (min(ts2) / reps)
+        res["raw_fps"] = batch * N_CAMS / (min(ts2) / reps)
     return res
 
 
@@ -486,6 +510,7 @@ def main():
             "mfu_pct": None if not mfu_of(r) else round(mfu_of(r), 2),
             "ms_min": round(r["ms_per_step"], 1),
             "ms_mean": round(r["ms_mean"], 1),
+            "batch": r["batch"],
         }
         for p, r in results.items() if p != PRESET
     }
@@ -494,16 +519,20 @@ def main():
             f"camera-frames/sec/chip, e2e ResDet3D ({PRESET} depth + "
             f"unprojection + ball-query/FPS + sparse-conv occupancy), "
             f"{N_CAMS}x{IMG_H}x{IMG_W} input, {head['composition']} "
-            f"depth composition, {head['schedule']} schedule"
+            f"depth composition, {head['schedule']} schedule, "
+            f"batch {head['batch']}"
         ),
         "value": round(head["fps"], 3),
         "unit": "frames/s/chip",
         "vs_baseline": vs(PRESET, head["fps"], head),
         "mfu_pct": None if mfu is None else round(mfu, 2),
         # min is the throughput statistic (tunnel-shared chip shows heavy
-        # run-to-run interference); mean >> min flags an interfered run
+        # run-to-run interference); mean >> min flags an interfered run,
+        # per_iter_ms quantifies it
         "ms_min": round(head["ms_per_step"], 1),
         "ms_mean": round(head["ms_mean"], 1),
+        "batch": head["batch"],
+        "per_iter_ms": head["per_iter_ms"],
     }
     if "raw_fps" in head:
         rec["raw_fps"] = round(head["raw_fps"], 3)

@@ -216,3 +216,33 @@ def test_two_process_mesh(tmp_path):
     # single-controller contract: both processes computed the same loss
     losses = [o.split("loss=")[1].split()[0] for o in outs]
     assert losses[0] == losses[1], outs
+
+
+@pytest.mark.slow
+def test_remat_policies_equivalent():
+    """'block' / 'global' / 'attn' remat policies change only what is
+    saved vs recomputed — loss and gradients must match bitwise-ish
+    (f32 accumulation noise only) across policies."""
+    from recondet3d.models.da3.vit import DinoViT
+
+    x = np.random.default_rng(0).uniform(
+        0, 1, (1, 3, 56, 56, 3)).astype(np.float32)
+    outs = {}
+    for pol in ("block", "global", "attn"):
+        m = DinoViT(name_preset="vits", out_layers=(3, 5), alt_start=2,
+                    rope_start=2, remat=True, remat_policy=pol)
+        v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+        def loss(params):
+            feats = m.apply({"params": params["params"]}, jnp.asarray(x))
+            return sum(jnp.sum(t.astype(jnp.float32) ** 2)
+                       for t in jax.tree_util.tree_leaves(feats))
+
+        l, g = jax.jit(jax.value_and_grad(loss))(v)
+        gn = sum(float(jnp.sum(jnp.abs(t)))
+                 for t in jax.tree_util.tree_leaves(g))
+        outs[pol] = (float(l), gn)
+    ref = outs["block"]
+    for pol, (l, gn) in outs.items():
+        assert abs(l - ref[0]) < 1e-3 * abs(ref[0]), (pol, outs)
+        assert abs(gn - ref[1]) < 1e-3 * abs(ref[1]), (pol, outs)
