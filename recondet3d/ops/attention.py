@@ -52,7 +52,7 @@ def attention_xla(q, k, v, kv_len=None, scale=None):
 
 
 def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
-                  block_k, kv_blocks):
+                  block_k, kv_blocks, n_pad):
     """One (batch*head, q_block) program: online softmax over KV blocks.
     Also emits the per-row logsumexp (softmax stats for the backward).
 
@@ -60,10 +60,26 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
     production) with fp32 accumulation: the v5e MXU runs bf16 x bf16 ->
     f32 at full rate but decomposes f32 x f32 into multiple passes, so
     casting the operands up costs ~4x MXU throughput. Softmax stats
-    (m, l, lse) and the accumulator stay fp32."""
+    (m, l, lse) and the accumulator stay fp32.
+
+    ``n_pad >= 0`` is the padding-only fast path (no per-batch kv_len):
+    the per-element column mask is a leading VPU cost at the production
+    shapes (iota+cmp+select over BQ x KV f32 — comparable to the dots'
+    MXU floor at D=64). With a STATIC pad boundary it collapses to one
+    (1, KV) -inf bias row built once per program and broadcast-added to
+    s (1 op/element instead of 3), exact in all cases. ``n_pad < 0``
+    keeps the per-element masked path (per-batch kv_len).
+
+    The logit scale is likewise folded into q once per q-block (BQ x D
+    elements) instead of into s (BQ x KV) — exact when scale is a power
+    of two (all production head dims: D=64 -> 0.125); otherwise one
+    extra input-dtype rounding, below the dots' own bf16 noise."""
     q = q_ref[0]  # (BQ, D), input dtype
     bq, d = q.shape
-    kv_len = kvlen_ref[pl.program_id(0)]
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    kv_real = kv_blocks * block_k - max(n_pad, 0)
+    if n_pad < 0:
+        kv_len = kvlen_ref[pl.program_id(0)]
 
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
@@ -74,10 +90,21 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale,
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (BQ, BK) fp32
-        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+            qs, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK) fp32, pre-scaled
+        if n_pad < 0:
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1
+            )
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        elif n_pad > 0:
+            # (1, BK) -inf bias row, broadcast-added: 3 ops over BK
+            # elements + 1 op/element, vs the masked path's 3 ops/element
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1
+            )
+            s = s + jnp.where(col < kv_real, 0.0, _NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -112,8 +139,10 @@ def _flash_attention_fwd_impl(q, k, v, kv_len, scale, block_q, block_k, interpre
 
     if kv_len is None:
         kv_len_arr = jnp.full((B,), M, jnp.int32)
+        n_pad_mode = m_pad  # pad-correction fast path (>= 0)
     else:
         kv_len_arr = kv_len.astype(jnp.int32)
+        n_pad_mode = -1  # per-batch kv_len -> masked path
     kv_len_bh = jnp.repeat(kv_len_arr, H)  # (B*H,)
 
     kv_blocks = Mp // block_k
@@ -121,7 +150,8 @@ def _flash_attention_fwd_impl(q, k, v, kv_len, scale, block_q, block_k, interpre
 
     out, lse = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, block_k=block_k, kv_blocks=kv_blocks
+            _flash_kernel, scale=scale, block_k=block_k, kv_blocks=kv_blocks,
+            n_pad=n_pad_mode,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -153,26 +183,41 @@ _STAT_LANES = 8  # lse/delta are broadcast to 8 lanes so kernels read
 
 
 def _flash_bwd_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                         delta_ref, dq_ref, *, scale, block_k, kv_blocks):
+                         delta_ref, dq_ref, *, scale, block_k, kv_blocks,
+                         masked):
     """One (batch*head, q_block) program: dQ = (P * (dO V^T - delta)) K.
 
     Dots keep operands in the input dtype (full-rate bf16 MXU, see the
-    forward kernel); softmax/delta algebra stays fp32."""
+    forward kernel); softmax/delta algebra stays fp32.
+
+    ``masked=False`` (no per-batch kv_len) drops the per-element column
+    mask exactly: a ZERO-padded column's unmasked p = exp(-lse) is finite
+    and its dq contribution is ds[:, j] * k[j, :] = ds[:, j] * 0 = 0.
+    The logit scale is folded into q (BQ x D) instead of s (BQ x KV);
+    the trailing chain-rule ``acc * scale`` is unrelated and stays."""
     q = q_ref[0]
     do = do_ref[0]
     lse = lse_ref[0][:, :1]      # (BQ, 1)
     delta = delta_ref[0][:, :1]  # (BQ, 1)
-    kv_len = kvlen_ref[pl.program_id(0)]
+    if masked:
+        kv_len = kvlen_ref[pl.program_id(0)]
     bq, d = q.shape
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
 
     def body(kb, acc):
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
-        p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
+            qs, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if masked:
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), 1
+            )
+            p = jnp.where(col < kv_len, jnp.exp(s - lse), 0.0)
+        else:
+            p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -185,14 +230,20 @@ def _flash_bwd_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                           delta_ref, dk_ref, dv_ref, *, scale, block_q,
-                          q_blocks):
+                          q_blocks, masked):
     """One (batch*head, kv_block) program: dV = P^T dO, dK = dS^T Q.
 
     Dots keep operands in the input dtype (full-rate bf16 MXU, see the
-    forward kernel); softmax/delta algebra stays fp32."""
+    forward kernel); softmax/delta algebra stays fp32.
+
+    ``masked=False`` (no per-batch kv_len) drops the per-element column
+    mask exactly: unmasked padded COLUMNS only pollute the padded dk/dv
+    ROWS, which the caller slices away ([:M]); padded q rows contribute
+    exact zeros as before (do rows are zero)."""
     k = k_ref[0]  # (BK, D)
     v = v_ref[0]
-    kv_len = kvlen_ref[pl.program_id(0)]
+    if masked:
+        kv_len = kvlen_ref[pl.program_id(0)]
     bk, d = k.shape
     base = pl.program_id(1) * bk
 
@@ -203,11 +254,17 @@ def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         do_blk = do_ref[0, sl, :]
         lse_blk = lse_ref[0, sl, :1]
         delta_blk = delta_ref[0, sl, :1]
+        qs = (q_blk.astype(jnp.float32) * scale).astype(q_blk.dtype)
         s = jax.lax.dot_general(
-            q_blk, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (BQ, BK)
-        col = base + jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
-        p = jnp.where(col < kv_len, jnp.exp(s - lse_blk), 0.0)
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK), pre-scaled
+        if masked:
+            col = base + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bk), 1
+            )
+            p = jnp.where(col < kv_len, jnp.exp(s - lse_blk), 0.0)
+        else:
+            p = jnp.exp(s - lse_blk)
         dv_acc = dv_acc + jax.lax.dot_general(
             p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -269,7 +326,7 @@ def _flash_attention_bwd_impl(q, k, v, kv_len, out, lse, g, scale, block_q,
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, scale=scale, block_k=block_k,
-                          kv_blocks=Mp // block_k),
+                          kv_blocks=Mp // block_k, masked=kv_len is not None),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B * H, Np // block_q),
@@ -285,7 +342,7 @@ def _flash_attention_bwd_impl(q, k, v, kv_len, out, lse, g, scale, block_q,
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, scale=scale, block_q=block_q,
-                          q_blocks=Np // block_q),
+                          q_blocks=Np // block_q, masked=kv_len is not None),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B * H, Mp // block_k),
