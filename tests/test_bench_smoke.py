@@ -40,9 +40,9 @@ def small_bench(monkeypatch):
 
     monkeypatch.setattr(bench, "build_pipeline", tiny_pipeline)
 
-    def tiny_anchor(c2l, ph, pw):
+    def tiny_anchor(c2l, ph, pw, batch=1):
         rng = np.random.default_rng(0)
-        d = rng.uniform(1.0, 8.0, (1, 2, ph, pw)).astype(np.float32)
+        d = rng.uniform(1.0, 8.0, (batch, 2, ph, pw)).astype(np.float32)
         d[:, :, ::3] = 0.0  # holes exercise the validity mask
         return d
 
