@@ -191,7 +191,20 @@ def main():
     pts = np.asarray(out["pseudo_points"][0], np.float32)
     msk = np.asarray(out["pseudo_valid"][0], bool)
     depth = np.asarray(out["aux"]["da3"]["depth"][0], np.float32)  # (N, h, w)
-    pts = pts[msk]
+    mask_empty_fallback = False
+    if msk.any():
+        pts = pts[msk]
+    else:
+        # random-init DA3 can predict a depth field whose unprojection
+        # leaves ZERO in-range points (every row masked). Keep the
+        # plumbing run exercising the metric code paths on the raw
+        # capacity rows, labeled as degenerate — real weights produce a
+        # real mask.
+        mask_empty_fallback = True
+        pts = np.nan_to_num(pts, nan=0.0, posinf=0.0, neginf=0.0)
+        print("[parity] WARNING: zero valid pseudo-points (random-init "
+              "degenerate); metrics computed on unmasked capacity rows",
+              file=sys.stderr)
 
     # --- outputs ----------------------------------------------------------
     write_pcd(os.path.join(args.out, "points.pcd"), pts[:, :3],
@@ -211,6 +224,7 @@ def main():
         "network_attempt": attempt_network(),
         "tolerances": TOLERANCES,
         "n_points": int(len(pts)),
+        "mask_empty_fallback": mask_empty_fallback,
         "depth_stats": [
             {"view": i, "min": float(d.min()), "max": float(d.max()),
              "mean": float(d.mean()), "median": float(np.median(d))}
