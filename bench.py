@@ -42,9 +42,11 @@ Env knobs: RECONDET3D_BENCH_PRESET (default da3nested-giant-large),
 RECONDET3D_BENCH_EXTRA (comma list, default da3-large; "" skips),
 RECONDET3D_BENCH_SCHEDULE (serial|pipelined, default serial),
 RECONDET3D_BENCH_COMPOSITION (anchored|raw|both, default anchored),
-RECONDET3D_BENCH_ITERS (default 5), RECONDET3D_BENCH_CPU=1 to (re)measure
-the CPU baseline of the headline preset, RECONDET3D_BENCH_CKPT to load
-real DA3 safetensors.
+RECONDET3D_BENCH_ITERS (default 10), RECONDET3D_BENCH_BATCH (scenes per
+step, default 2 — the measured throughput sweet spot; 1 = single-scene
+latency), RECONDET3D_BENCH_REPS (in-jit scan repeats per timed call,
+default 8), RECONDET3D_BENCH_CPU=1 to (re)measure the CPU baseline of
+the headline preset, RECONDET3D_BENCH_CKPT to load real DA3 safetensors.
 """
 
 import json
@@ -68,8 +70,11 @@ ITERS = int(os.environ.get("RECONDET3D_BENCH_ITERS", "10"))
 # scenes per jitted step: frames/s/chip is a THROUGHPUT metric and nothing
 # ties the step to one scene — batching amortizes the VPU-bound softmax,
 # per-stage bookkeeping, and the fixed dispatch cost, and fills the MXU on
-# the small heads. fps = BATCH * N_CAMS / step_time.
-BATCH = int(os.environ.get("RECONDET3D_BENCH_BATCH", "1"))
+# the small heads. fps = BATCH * N_CAMS / step_time. Measured saturation
+# (docs/performance.md): nested 16.7 (B=1) -> 17.8 (B=2) -> 17.5 (B=4),
+# da3-large 24.6 -> 27.3 — B=2 is the throughput default; set 1 for the
+# single-scene latency number.
+BATCH = int(os.environ.get("RECONDET3D_BENCH_BATCH", "2"))
 BASELINE_FILE = os.path.join(REPO, "bench_baseline.json")
 
 N_CAMS = 6
@@ -293,7 +298,7 @@ def measure(preset, backend, iters, schedule=SCHEDULE, composition=COMPOSITION):
     # derived from the previous step's output, so XLA can neither hoist the
     # body out of the loop nor run iterations concurrently.
     reps = 1 if backend == "cpu" else int(
-        os.environ.get("RECONDET3D_BENCH_REPS", "4")
+        os.environ.get("RECONDET3D_BENCH_REPS", "8")
     )
 
     def _scalars(out):
